@@ -1,0 +1,95 @@
+import os
+
+import numpy as np
+import pytest
+
+from stablemtl_tpu.config import Config, merge_dicts, recursive_load_config
+from stablemtl_tpu.utils.schedules import IterExponential, iter_exponential_ratio
+from stablemtl_tpu.utils.seeding import generate_seed_sequence, step_key, step_rng
+from stablemtl_tpu.data.semantic import VKitti2Encoder, CityscapesEncoder, IGNORE_INDEX
+
+
+def test_merge_dicts_override_and_recurse():
+    base = {"a": 1, "b": {"x": 1, "y": 2}}
+    over = {"b": {"y": 3, "z": 4}, "c": 5}
+    out = merge_dicts(base, over)
+    assert out == {"a": 1, "b": {"x": 1, "y": 3, "z": 4}, "c": 5}
+
+
+def test_recursive_config_loading(tmp_path):
+    (tmp_path / "base.yaml").write_text("lr: 1.0e-4\ntrainer:\n  save_period: 500\n")
+    (tmp_path / "mid.yaml").write_text(
+        "base_config:\n- base.yaml\ntrainer:\n  save_period: 100\n  extra: 1\n")
+    (tmp_path / "top.yaml").write_text(
+        "base_config:\n- mid.yaml\nlr: 2.0e-4\n")
+    cfg = recursive_load_config(str(tmp_path / "top.yaml"), root=str(tmp_path))
+    assert cfg.lr == 2.0e-4
+    assert cfg.trainer.save_period == 100
+    assert cfg.trainer.extra == 1
+
+
+def test_config_attr_access():
+    cfg = Config({"a": {"b": 2}})
+    assert cfg.a.b == 2
+    assert cfg.get("missing", 7) == 7
+    with pytest.raises(AttributeError):
+        _ = cfg.nope
+
+
+def test_iter_exponential_parity_host_vs_jax():
+    sched = IterExponential(total_iter_length=1000, final_ratio=0.01, warmup_steps=100)
+    for n in [0, 1, 50, 99, 100, 101, 500, 999, 1000, 5000]:
+        host = sched(n)
+        dev = float(iter_exponential_ratio(n, 1000, 0.01, 100))
+        assert host == pytest.approx(dev, rel=1e-4), n  # f32 on device
+    assert sched(0) == 0.0
+    assert sched(100) == pytest.approx(1.0)
+    assert sched(1000) == 0.01
+
+
+def test_seed_sequence_deterministic():
+    a = generate_seed_sequence(2024, 10)
+    b = generate_seed_sequence(2024, 10)
+    assert a == b
+    assert generate_seed_sequence(1, 10) != a
+
+
+def test_step_key_and_rng_deterministic():
+    import jax.numpy as jnp
+    k1 = step_key(0, 5)
+    k2 = step_key(0, 5)
+    assert (jnp.asarray(k1) == jnp.asarray(k2)).all()
+    r1 = step_rng(0, 5).integers(0, 1 << 30, 4)
+    r2 = step_rng(0, 5).integers(0, 1 << 30, 4)
+    np.testing.assert_array_equal(r1, r2)
+    r3 = step_rng(0, 6).integers(0, 1 << 30, 4)
+    assert (r1 != r3).any()
+
+
+def test_vkitti_encoder_roundtrip():
+    enc = VKitti2Encoder(n_classes=8)
+    # dense ids
+    ids = np.array([[5, 4, 1], [12, 0, 9]])  # road, building, sky / car, terrain, pole
+    lbl = enc.encode_segmap(ids)
+    assert lbl[0, 0] == 0 and lbl[0, 1] == 1 and lbl[0, 2] == 6
+    assert lbl[1, 0] == 7 and lbl[1, 1] == IGNORE_INDEX and lbl[1, 2] == 2
+    # rgb decoding: VKITTI2 road color (100,60,100)
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgb[:] = (100, 60, 100)
+    lbl2 = enc.encode_segmap(rgb)
+    assert (lbl2 == 0).all()
+
+
+def test_encoder_color_roundtrip_through_palette():
+    enc = VKitti2Encoder(n_classes=8)
+    ids = np.arange(8).reshape(2, 4)
+    color = enc.segmap2color(ids)  # [2,4,3] in 0..255
+    img = color / 255.0 * 2.0 - 1.0
+    back = enc.color2class_id(img)
+    np.testing.assert_array_equal(back, ids)
+
+
+def test_cityscapes_encoder_shares_palette():
+    cs = CityscapesEncoder(n_classes=8)
+    vk = VKitti2Encoder(n_classes=8)
+    np.testing.assert_array_equal(cs.class_color_embeddings, vk.class_color_embeddings)
