@@ -1,0 +1,208 @@
+"""Shared building blocks for the UNet/VAE in Flax (NHWC, TPU-first).
+
+Functional equivalents of the reference's pseudo-3D primitives
+(/root/reference/src/model/resnet.py): the "(b f)" folding disappears —
+the task axis is folded into batch by callers, so everything here is plain
+2D, which XLA tiles directly onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0,
+                       max_period: int = 10000) -> jax.Array:
+    """Sinusoidal timestep embedding (diffusers `Timesteps` semantics).
+
+    timesteps: [B] float/int. Returns [B, dim] float32.
+    """
+    half = dim // 2
+    exponent = -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin], axis=-1) if flip_sin_to_cos else \
+        jnp.concatenate([sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """linear -> SiLU -> linear (320 -> 1280 -> 1280 for SD2)."""
+
+    time_embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb):
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(t_emb)
+        x = nn.silu(x)
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+class Conv3x3(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.features, kernel_size=(3, 3),
+            strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv",
+        )(x)
+
+
+class ResnetBlock(nn.Module):
+    """GroupNorm -> SiLU -> conv -> (+temb) -> GroupNorm -> SiLU -> conv (+skip).
+
+    Parity with reference ResnetBlock3D (resnet.py:110-204) minus the task
+    fold. `eps` is 1e-5 in the UNet, 1e-6 in the VAE.
+    """
+
+    out_channels: int
+    use_temb: bool = True
+    groups: int = 32
+    eps: float = 1e-5
+    output_scale_factor: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb: Optional[jax.Array] = None):
+        in_channels = x.shape[-1]
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32,
+                         name="norm1")(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv1")(h)
+
+        if self.use_temb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32,
+                         name="norm2")(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv2")(h)
+
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return (x + h) / self.output_scale_factor
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv (reference Downsample3D, resnet.py:76-107)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2),
+                       padding=((1, 1), (1, 1)), dtype=self.dtype,
+                       name="conv")(x)
+
+
+def nearest_upsample_2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbor 2x spatial upsample (NHWC), XLA-friendly."""
+    B, H, W, C = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (B, H, 2, W, 2, C))
+    return x.reshape(B, H * 2, W * 2, C)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x + 3x3 conv (reference Upsample3D, resnet.py:21-73)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, output_size: Optional[tuple] = None):
+        if output_size is None:
+            x = nearest_upsample_2x(x)
+        else:
+            x = jax.image.resize(
+                x, (x.shape[0], output_size[0], output_size[1], x.shape[-1]),
+                method="nearest")
+        return nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
+                       dtype=self.dtype, name="conv")(x)
+
+
+class GEGLU(nn.Module):
+    inner_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward, 4x expansion (diffusers FeedForward semantics)."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        x = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+        return x
+
+
+class MLP(nn.Module):
+    """2-layer GELU MLP (reference attention.py:655-698); K/V task projector."""
+
+    out_features: int
+    hidden_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x)
+        x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class MLPv2(nn.Module):
+    """Deeper GELU MLP (reference attention.py:701-752); Q task projector.
+
+    layer sizes: in -> hidden -> [hidden]*num_hidden_layers -> out.
+    """
+
+    out_features: int
+    hidden_features: int
+    num_hidden_layers: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="net_0")(x)
+        x = nn.gelu(x)
+        for i in range(self.num_hidden_layers):
+            x = nn.Dense(self.hidden_features, dtype=self.dtype,
+                         name=f"net_{2 * (i + 1)}")(x)
+            x = nn.gelu(x)
+        x = nn.Dense(self.out_features, dtype=self.dtype,
+                     name=f"net_{2 * (self.num_hidden_layers + 1)}")(x)
+        return x

@@ -1,0 +1,319 @@
+"""Transformer blocks with first-class cross-task attention.
+
+Rebuilds the semantics of reference src/model/attention.py (Transformer3DModel
+/ BasicTransformerBlock / SparseCausalAttention + the per-task QKV surgery in
+src/util/model.py:49-149) as a functional TPU-first design:
+
+- Per-task K/V/Q projector parameters are *stacked banks* [n_tasks, ...]
+  gathered with jnp.take — task identity is data, so one compiled graph
+  serves every task (the reference instead mutates nn.ModuleDicts and relies
+  on DDP find_unused_parameters).
+- Cross-task attention keys are one token per auxiliary task per pixel
+  (reference attention.py:500-515): queries [B,N,1,*], keys [B,N,T,*],
+  n_attns=4 heads over the task axis, computed as dense einsums (MXU).
+- The stochastic task-masking regularizer (attention.py:522-583) is drawn
+  per layer from a flax RNG stream ('taskmask') with the 4 reference
+  strategies, applied as an additive -inf bias under jnp.where.
+- Feature taps are explicit return values (vs. the reference's
+  `return_feature` attribute monkey-patching).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import dot_product_attention
+from .layers import FeedForward
+
+NEG_INF = -1e9
+
+TAP_POINTS = (
+    "beforeSelfAttn",
+    "afterSelfAttn_main", "afterSelfAttn_residual",
+    "afterXAttn_main", "afterXAttn_residual",
+    "afterFF_main", "afterFF_residual",
+)
+
+
+class Attention(nn.Module):
+    """Multi-head attention (self or cross). Param names mirror diffusers
+    (`to_q`/`to_k`/`to_v`/`to_out_0`) so checkpoint conversion is mechanical."""
+
+    heads: int
+    dim_head: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+
+        B, N, _ = q.shape
+        L = k.shape[1]
+        q = q.reshape(B, N, self.heads, self.dim_head)
+        k = k.reshape(B, L, self.heads, self.dim_head)
+        v = v.reshape(B, L, self.heads, self.dim_head)
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(B, N, inner)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out_0")(out)
+
+
+def _bank(mod, name, shape, init):
+    return mod.param(name, init, shape)
+
+
+def _ln_bank(x, scale, bias, eps=1e-5):
+    """LayerNorm over the last axis with externally-gathered scale/bias.
+
+    x: [..., C]; scale/bias broadcastable to x.
+    """
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+class TaskAttentionBank(nn.Module):
+    """Cross-task attention for one UNet attention layer.
+
+    Owns stacked per-task parameter banks over ALL n_tasks; callers pass
+    `aux_idx` (the auxiliary tasks whose features form the key set, shape
+    [T_aux]) and `main_idx` (scalar, selects the query projector).
+    """
+
+    dim: int
+    n_tasks: int
+    n_attns: int = 4           # heads over the task axis (train_stablemtl.yaml:23)
+    q_hidden: int = 640        # MLPv2 hidden (util/model.py:126-132)
+    q_hidden_layers: int = 2
+    attn_mask_ratio: float = 0.0
+    attn_mask_type: str = "attn_prob"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, task_feats, main_idx, aux_idx,
+                 train: bool = False):
+        """
+        hidden: [B, N, C] main-stream features (after self-attn projection).
+        task_feats: [T_aux, B, N, C] child features per auxiliary task.
+        main_idx: scalar int — index of the main task in the canonical order.
+        aux_idx: [T_aux] int — indices of the auxiliary tasks.
+        Returns [B, N, C] to be added to `hidden`.
+        """
+        C, T = self.dim, self.n_tasks
+        Ch = C // 2
+        lecun = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        ones = nn.initializers.ones
+
+        def dense_bank(name, din, dout):
+            w = _bank(self, f"{name}_kernel", (T, din, dout), lecun)
+            b = _bank(self, f"{name}_bias", (T, dout), zeros)
+            return w, b
+
+        # ---- K/V projectors: LN_t -> MLP(C -> C/2 -> C) per task ----------
+        outs = {}
+        for nm in ("k", "v"):
+            ln_s = _bank(self, f"task_norm_{nm}_scale", (T, C), ones)
+            ln_b = _bank(self, f"task_norm_{nm}_bias", (T, C), zeros)
+            w1, b1 = dense_bank(f"task_to_{nm}_fc1", C, Ch)
+            w2, b2 = dense_bank(f"task_to_{nm}_fc2", Ch, C)
+
+            s = jnp.take(ln_s, aux_idx, axis=0)[:, None, None, :]
+            b = jnp.take(ln_b, aux_idx, axis=0)[:, None, None, :]
+            x = _ln_bank(task_feats, s, b)
+            w1g = jnp.take(w1, aux_idx, axis=0).astype(self.dtype)
+            b1g = jnp.take(b1, aux_idx, axis=0).astype(self.dtype)
+            w2g = jnp.take(w2, aux_idx, axis=0).astype(self.dtype)
+            b2g = jnp.take(b2, aux_idx, axis=0).astype(self.dtype)
+            x = jnp.einsum("tbnc,tcd->tbnd", x, w1g,
+                           preferred_element_type=jnp.float32).astype(self.dtype)
+            x = nn.gelu(x + b1g[:, None, None, :])
+            x = jnp.einsum("tbnc,tcd->tbnd", x, w2g,
+                           preferred_element_type=jnp.float32).astype(self.dtype)
+            outs[nm] = x + b2g[:, None, None, :]
+
+        # ---- Q projector: LN_m -> MLPv2(C -> 640 x3 -> C) for main task ---
+        q_ln_s = _bank(self, "task_norm_q_scale", (T, C), ones)
+        q_ln_b = _bank(self, "task_norm_q_bias", (T, C), zeros)
+        q = _ln_bank(hidden,
+                     jnp.take(q_ln_s, main_idx, axis=0),
+                     jnp.take(q_ln_b, main_idx, axis=0))
+        dims = [C] + [self.q_hidden] * (self.q_hidden_layers + 1) + [C]
+        for li in range(len(dims) - 1):
+            w, b = dense_bank(f"task_to_q_net_{2 * li}", dims[li], dims[li + 1])
+            wg = jnp.take(w, main_idx, axis=0).astype(self.dtype)
+            bg = jnp.take(b, main_idx, axis=0).astype(self.dtype)
+            q = jnp.einsum("bnc,cd->bnd", q, wg,
+                           preferred_element_type=jnp.float32).astype(self.dtype) + bg
+            if li < len(dims) - 2:
+                q = nn.gelu(q)
+
+        # ---- attention over the task axis (per pixel) ---------------------
+        B, N, _ = q.shape
+        T_aux = task_feats.shape[0]
+        h, d = self.n_attns, C // self.n_attns
+        qh = q.reshape(B, N, h, d)
+        kh = outs["k"].reshape(T_aux, B, N, h, d)
+        vh = outs["v"].reshape(T_aux, B, N, h, d)
+
+        scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+        scores = jnp.einsum("bnhd,tbnhd->bnht", qh, kh,
+                            preferred_element_type=jnp.float32) * scale
+
+        bias = self._mask_bias(scores, T_aux, train)
+        if bias is not None:
+            scores = scores + bias  # [T_aux] broadcast over b,n,h
+
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bnht,tbnhd->bnhd", probs, vh,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = out.reshape(B, N, C)
+
+        # zero-initialized output projection: module starts as identity
+        # (util/model.py:140-146)
+        w_out = self.param("to_out_task_kernel", zeros, (C, C))
+        b_out = self.param("to_out_task_bias", zeros, (C,))
+        return out @ w_out.astype(self.dtype) + b_out.astype(self.dtype)
+
+    def _mask_bias(self, scores, T_aux: int, train: bool):
+        """Stochastic task-masking regularizer (attention.py:522-583).
+
+        With prob attn_mask_ratio, pick task(s) from the mean attention
+        distribution (strategy-dependent) and bias their keys to -inf.
+        """
+        if not train or self.attn_mask_ratio <= 0.0 or T_aux <= 1:
+            return None
+        key = self.make_rng("taskmask")
+        k_gate, k_pick, k_k = jax.random.split(key, 3)
+        do_mask = jax.random.bernoulli(k_gate, self.attn_mask_ratio)
+
+        mean_probs = jax.lax.stop_gradient(
+            jax.nn.softmax(scores, axis=-1).mean(axis=(0, 1, 2)))  # [T_aux]
+
+        if self.attn_mask_type == "attn_prob":
+            idx = jax.random.categorical(k_pick, jnp.log(mean_probs + 1e-20))
+            mask = jax.nn.one_hot(idx, T_aux, dtype=jnp.float32)
+        elif self.attn_mask_type == "random":
+            idx = jax.random.randint(k_pick, (), 0, T_aux)
+            mask = jax.nn.one_hot(idx, T_aux, dtype=jnp.float32)
+        elif self.attn_mask_type == "highest":
+            mask = jax.nn.one_hot(jnp.argmax(mean_probs), T_aux, jnp.float32)
+        elif self.attn_mask_type == "attn_prob_random_k":
+            # multinomial without replacement == Gumbel top-k
+            n_mask = jax.random.randint(k_k, (), 1, T_aux)
+            g = jnp.log(mean_probs + 1e-20) - jnp.log(
+                -jnp.log(jax.random.uniform(k_pick, (T_aux,)) + 1e-20) + 1e-20)
+            rank = jnp.argsort(jnp.argsort(-g))
+            mask = (rank < n_mask).astype(jnp.float32)
+        else:
+            raise ValueError(f"Invalid attn_mask_type: {self.attn_mask_type}")
+
+        bias = jnp.where(do_mask, mask * NEG_INF, 0.0)
+        return bias[None, None, None, :]
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn (+cross-task) -> text cross-attn -> GEGLU FF, pre-LN.
+
+    Parity with reference attention.py:226-380; the cross-task module is
+    injected after the self-attention output projection and before the
+    residual add (attention.py:460-600).
+    """
+
+    dim: int
+    heads: int
+    dim_head: int
+    n_tasks: int = 0
+    use_task_attention: bool = False
+    n_attns: int = 4
+    attn_mask_ratio: float = 0.0
+    attn_mask_type: str = "attn_prob"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, task_feats=None, main_idx=None,
+                 aux_idx=None, tap: Optional[str] = None, train: bool = False):
+        tap_feat = None
+        if tap == "beforeSelfAttn":
+            tap_feat = x
+
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        attn_out = Attention(self.heads, self.dim_head, self.dim,
+                             dtype=self.dtype, name="attn1")(h)
+        if self.use_task_attention and task_feats is not None:
+            attn_out = attn_out + TaskAttentionBank(
+                dim=self.dim, n_tasks=self.n_tasks, n_attns=self.n_attns,
+                attn_mask_ratio=self.attn_mask_ratio,
+                attn_mask_type=self.attn_mask_type,
+                dtype=self.dtype, name="task_attn",
+            )(attn_out, task_feats, main_idx, aux_idx, train=train)
+        x = x + attn_out
+        if tap == "afterSelfAttn_residual":
+            tap_feat = attn_out
+        elif tap == "afterSelfAttn_main":
+            tap_feat = x
+
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        xattn_out = Attention(self.heads, self.dim_head, self.dim,
+                              dtype=self.dtype, name="attn2")(h, context)
+        x = x + xattn_out
+        if tap == "afterXAttn_residual":
+            tap_feat = xattn_out
+        elif tap == "afterXAttn_main":
+            tap_feat = x
+
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
+        ff_out = FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        x = x + ff_out
+        if tap == "afterFF_residual":
+            tap_feat = ff_out
+        elif tap == "afterFF_main":
+            tap_feat = x
+
+        return x, tap_feat
+
+
+class Transformer2D(nn.Module):
+    """GroupNorm -> linear proj_in -> 1 transformer block -> proj_out + residual.
+
+    SD2 uses use_linear_projection=True; parity with reference
+    attention.py:114-223 minus the (b f) folds.
+    """
+
+    heads: int
+    dim_head: int
+    n_tasks: int = 0
+    use_task_attention: bool = False
+    n_attns: int = 4
+    attn_mask_ratio: float = 0.0
+    attn_mask_type: str = "attn_prob"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, task_feats=None, main_idx=None,
+                 aux_idx=None, tap: Optional[str] = None, train: bool = False):
+        B, H, W, C = x.shape
+        inner = self.heads * self.dim_head
+        residual = x
+        h = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        h = h.reshape(B, H * W, C).astype(self.dtype)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+        h, tap_feat = BasicTransformerBlock(
+            dim=inner, heads=self.heads, dim_head=self.dim_head,
+            n_tasks=self.n_tasks, use_task_attention=self.use_task_attention,
+            n_attns=self.n_attns, attn_mask_ratio=self.attn_mask_ratio,
+            attn_mask_type=self.attn_mask_type, dtype=self.dtype,
+            name="transformer_blocks_0",
+        )(h, context, task_feats, main_idx, aux_idx, tap=tap, train=train)
+        h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+        return h.reshape(B, H, W, C) + residual, tap_feat

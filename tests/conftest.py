@@ -15,3 +15,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The environment's axon sitecustomize force-registers the TPU backend via
+# jax.config (which beats env vars); override it back to CPU before any
+# backend is initialized.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,135 @@
+"""Model-stack tests (tiny configs; CPU is 1-core so fixtures are shared)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stablemtl_tpu.models.unet import (
+    UNet2DConditionModel,
+    inflate_conv_in,
+    task_feat_shapes,
+    tiny_unet_config,
+)
+from stablemtl_tpu.models.vae import AutoencoderKL, tiny_vae_config
+from stablemtl_tpu.models.clip import (
+    CLIPTextModel,
+    HashTokenizer,
+    tiny_clip_config,
+    tokenize_batch,
+)
+
+RNG = jax.random.PRNGKey(0)
+H = W = 16
+
+
+@pytest.fixture(scope="module")
+def unet_setup():
+    cfg = tiny_unet_config(use_task_attention=True, n_tasks=7,
+                           attn_mask_ratio=0.0)
+    unet = UNet2DConditionModel(cfg)
+    x = jax.random.normal(RNG, (1, H, W, 12))
+    ctx = jax.random.normal(RNG, (1, 4, cfg.cross_attention_dim))
+    dummy_feats = [jnp.zeros((6, 1, n, c)) for n, c in
+                   task_feat_shapes(cfg, H, W)]
+    params = unet.init({"params": RNG}, x, 999, ctx, dummy_feats,
+                       jnp.asarray(0), jnp.asarray([1, 2, 3, 4, 5, 6]))
+    return cfg, unet, x, ctx, params
+
+
+def test_unet_shapes_and_taps(unet_setup):
+    cfg, unet, x, ctx, params = unet_setup
+    out, taps = unet.apply(params, x, 999, ctx, tap="afterSelfAttn_residual")
+    assert out.shape == (1, H, W, 4)
+    assert len(taps) == 16
+    ch = cfg.block_out_channels
+    heads = cfg.attention_heads
+    inner = [ch[i] // heads[i] * heads[i] for i in range(4)]
+    expected_dims = ([inner[0]] * 2 + [inner[1]] * 2 + [inner[2]] * 2
+                     + [inner[3]] + [inner[3]] * 3 + [inner[2]] * 3
+                     + [inner[0]] * 3)
+    # reference layer_dims pattern (util/model.py:67-84) scaled to tiny cfg
+    got_dims = [t.shape[-1] for t in taps]
+    assert got_dims[:7] == expected_dims[:7]
+    assert got_dims[13:] == expected_dims[13:]
+    # token counts follow resolutions 16x16 down to 2x2 back up
+    assert taps[0].shape[1] == H * W
+    assert taps[6].shape[1] == (H // 8) * (W // 8)
+
+
+def test_task_attention_zero_init_is_identity(unet_setup):
+    """With zero-initialized to_out_task the multi-stream forward must equal
+    the task-free forward exactly (reference util/model.py:140-146 rationale)."""
+    cfg, unet, x, ctx, params = unet_setup
+    out_a, taps = unet.apply(params, x, 999, ctx, tap="afterSelfAttn_residual")
+    task_feats = [jnp.broadcast_to(t, (6,) + t.shape) for t in taps]
+    out_b, _ = unet.apply(params, x, 999, ctx, task_feats,
+                          jnp.asarray(1), jnp.asarray([0, 2, 3, 4, 5, 6]))
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=1e-6)
+
+
+def test_task_masking_changes_nothing_when_out_proj_zero(unet_setup):
+    """Masking only perturbs the task-attention branch; with zero out-proj the
+    final output stays identical — but the rng stream must be consumed."""
+    cfg, unet, x, ctx, params = unet_setup
+    cfg2 = tiny_unet_config(use_task_attention=True, n_tasks=7,
+                            attn_mask_ratio=1.0)
+    unet2 = UNet2DConditionModel(cfg2)
+    _, taps = unet.apply(params, x, 999, ctx, tap="afterSelfAttn_residual")
+    task_feats = [jnp.broadcast_to(t, (6,) + t.shape) for t in taps]
+    out, _ = unet2.apply(params, x, 999, ctx, task_feats,
+                         jnp.asarray(0), jnp.asarray([1, 2, 3, 4, 5, 6]),
+                         train=True, rngs={"taskmask": jax.random.PRNGKey(7)})
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_inflate_conv_in_duplicate_invariance():
+    """Inflated conv on a 3x-duplicated input == base conv on the input
+    (reference util/model.py:11-27 repeat/scale rule)."""
+    rng = np.random.default_rng(0)
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 4, 8)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 6, 6, 4)), jnp.float32)
+
+    inflated = inflate_conv_in({"kernel": kernel, "bias": bias}, repeat=3)
+    assert inflated["kernel"].shape == (3, 3, 12, 8)
+
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    base = jax.lax.conv_general_dilated(x, kernel, (1, 1), "SAME",
+                                        dimension_numbers=dn) + bias
+    x3 = jnp.concatenate([x, x, x], axis=-1)
+    dn3 = jax.lax.conv_dimension_numbers(x3.shape, inflated["kernel"].shape,
+                                         ("NHWC", "HWIO", "NHWC"))
+    infl = jax.lax.conv_general_dilated(x3, inflated["kernel"], (1, 1), "SAME",
+                                        dimension_numbers=dn3) + bias
+    np.testing.assert_allclose(np.asarray(base), np.asarray(infl), atol=1e-5)
+
+
+def test_vae_roundtrip_shapes():
+    cfg = tiny_vae_config()
+    vae = AutoencoderKL(cfg)
+    img = jax.random.normal(RNG, (2, 32, 32, 3))
+    params = vae.init(RNG, img)
+    lat = vae.apply(params, img, method=AutoencoderKL.encode)
+    assert lat.shape == (2, 4, 4, 4)  # 8x spatial downsample, 4 latent ch
+    dec = vae.apply(params, lat, method=AutoencoderKL.decode)
+    assert dec.shape == (2, 32, 32, 3)
+
+
+def test_clip_text_model_and_tokenizer():
+    cfg = tiny_clip_config()
+    model = CLIPTextModel(cfg)
+    tok = HashTokenizer()
+    prompts = ["depth", "optical flow", "scene flow"]
+    ids = tokenize_batch(tok, prompts)
+    assert ids.shape[0] == 3 and ids.shape[1] == 4  # bos + 2 words + eos
+    # single-word prompts are bos + tok + eos padded with eos
+    params = model.init(RNG, jnp.asarray(ids))
+    emb = model.apply(params, jnp.asarray(ids))
+    assert emb.shape == (3, 4, cfg.hidden_size)
+    # embeddings differ across distinct prompts
+    assert not np.allclose(np.asarray(emb[0]), np.asarray(emb[1]))
+    # deterministic tokenization
+    np.testing.assert_array_equal(ids, tokenize_batch(tok, prompts))
