@@ -1,0 +1,319 @@
+"""StableMTL pipeline: VAE codec, task conditioning, single-step inference.
+
+TPU-first rebuild of reference /root/reference/src/stablemtl_pipeline.py.
+Key design departures (SURVEY.md §7):
+
+- The CLIP text tower never appears in the hot loop: the 7 task prompts are
+  embedded once at setup into a [n_tasks, 77, 1024] table; conditioning is a
+  gather by task index (vs. a CLIP forward per step, pipeline:464-473).
+- The timestep is the constant 999 (pipeline:552) so its embedding folds into
+  the compiled graph.
+- Child-feature extraction runs ALL auxiliary tasks in ONE UNet forward with
+  the task axis folded into batch (vs. a Python loop of 6 sequential child
+  forwards, pipeline:495-513) — the dominant cost of a multi-stream step.
+- Task identity is *data* (an int32 index), so one compiled executable serves
+  every task; per-task branching is jnp.where over precomputed task tables.
+
+Packing/decoding parity:
+- GT -> 3ch packing (trainer encode_output, stablemtl_trainer.py:440-482):
+  depth/shading tiled to 3 channels; optical flow [u,v] -> [u,v,u];
+  normal/semantic/albedo/scene_flow already 3-channel.
+- latent -> task decode (pipeline:626-656): depth/shading = mean over the 3
+  decoded channels; optical_flow = first 2 channels; rest passthrough.
+- Semantic class assignment: decoded RGB -> nearest of the 8 class palette
+  colors (pipeline:354-366).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import FIXED_TIMESTEP, TASKS, TWO_FRAME_TASKS
+from .models import AutoencoderKL, CLIPTextModel, UNet2DConditionModel
+
+N_TASKS = len(TASKS)
+TASK_INDEX = {name: i for i, name in enumerate(TASKS)}
+
+# Boolean table: does task i consume a distinct second frame?
+# (reference pipeline:433 — optical_flow / scene_flow only)
+TWO_FRAME_TABLE = np.array([t in TWO_FRAME_TASKS for t in TASKS], dtype=bool)
+
+# Text prompt for each task: the task name with '_' -> ' '
+# (reference pipeline:465-467).
+TASK_PROMPTS = tuple(t.replace("_", " ") for t in TASKS)
+
+
+def task_index(name_or_idx) -> int:
+    if isinstance(name_or_idx, str):
+        return TASK_INDEX[name_or_idx]
+    return int(name_or_idx)
+
+
+# ---------------------------------------------------------------------------
+# GT packing (host- or device-side; pure, shape-static per task)
+# ---------------------------------------------------------------------------
+
+def pack_gt_to_3ch(gt, task: str):
+    """Task GT -> 3-channel [-1,1] image for VAE encoding.
+
+    Parity: stablemtl_trainer.py:440-482 (`encode_output` channel rules).
+    Accepts numpy or jnp arrays shaped [..., H, W, C] (channels-last).
+    """
+    xp = jnp if isinstance(gt, jnp.ndarray) else np
+    c = gt.shape[-1]
+    if task in ("depth", "shading"):
+        if c != 1:
+            raise ValueError(f"{task} GT must be 1-channel, got {c}")
+        return xp.concatenate([gt, gt, gt], axis=-1)
+    if task == "optical_flow":
+        if c != 2:
+            raise ValueError(f"optical_flow GT must be 2-channel, got {c}")
+        return xp.concatenate([gt, gt[..., :1]], axis=-1)
+    if task in ("normal", "semantic", "albedo", "scene_flow"):
+        if c != 3:
+            raise ValueError(f"{task} GT must be 3-channel, got {c}")
+        return gt
+    raise ValueError(f"Unknown output type: {task}")
+
+
+def decode_3ch_to_task(img3, task: str):
+    """Decoded 3-channel VAE output -> task-shaped map.
+
+    Parity: stablemtl_pipeline.py:626-656 (`decode_output` channel rules).
+    img3: [..., H, W, 3] channels-last.
+    """
+    if task in ("depth", "shading"):
+        return img3.mean(axis=-1, keepdims=True)
+    if task == "optical_flow":
+        return img3[..., :2]
+    if task in ("normal", "semantic", "rgb", "scene_flow", "albedo"):
+        return img3
+    raise ValueError(f"Unknown output type: {task}")
+
+
+def semantic_rgb_to_class(img3, class_colors):
+    """Decoded RGB [-1,1] -> class-id map by nearest palette color.
+
+    Parity: stablemtl_pipeline.py:354-366 (cdist argmin over the 8 class
+    colors, colors normalized from [0,255] to [-1,1]).
+    img3: [..., H, W, 3]; class_colors: [n_cls, 3] in 0..255.
+    """
+    colors = jnp.asarray(class_colors, jnp.float32) / 255.0 * 2.0 - 1.0
+    d2 = jnp.sum(
+        (img3[..., None, :] - colors) ** 2, axis=-1)  # [..., H, W, n_cls]
+    return jnp.argmin(d2, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class StableMTLPipeline:
+    """Bundles the frozen codecs, the task-embedding table, and the UNets.
+
+    Attributes:
+        vae / unet / unet_child: Flax module definitions (child is None in
+            single-stream mode).
+        vae_params / unet_params / unet_child_params: parameter pytrees.
+        text_embed_table: [n_tasks, L, text_dim] CLIP embeddings of the task
+            prompts, precomputed by `build_text_embed_table`.
+        input_noise: 'deterministic' (zeros, default) | 'random'
+            (train_base_config.yaml; pipeline:557-562).
+        encode_rgb_mode: 'duplicate' | 'zero' | 'avg' second-frame handling
+            for single-frame tasks (pipeline:436-447).
+        exclude_main_task: drop the main task from the child key set
+            (train_stablemtl.yaml:22).
+        child_tap: which feature tap the child exposes
+            (default afterSelfAttn_residual, util/model.py:182-184).
+    """
+
+    vae: AutoencoderKL
+    unet: UNet2DConditionModel
+    vae_params: Any
+    unet_params: Any
+    text_embed_table: jnp.ndarray
+    unet_child: Optional[UNet2DConditionModel] = None
+    unet_child_params: Any = None
+    input_noise: str = "deterministic"
+    encode_rgb_mode: str = "duplicate"
+    exclude_main_task: bool = True
+    child_tap: str = "afterSelfAttn_residual"
+
+    @property
+    def is_multi_stream(self) -> bool:
+        return self.unet_child is not None
+
+    # ---- encoding -----------------------------------------------------
+
+    def encode_rgb(self, rgb_norm):
+        """[-1,1] NHWC image -> scaled latent mean (pipeline:607-624)."""
+        return self.vae.apply(self.vae_params, rgb_norm,
+                              method=AutoencoderKL.encode)
+
+    def encode_rgb_pair(self, rgb_norm, rgb_next_norm):
+        """Encode both frames in ONE batched VAE forward.
+
+        Returns (lat [B,h,w,4], lat_next [B,h,w,4]). Callers supply
+        rgb_next_norm == rgb_norm for single-frame batches (the 'duplicate'
+        default); this still costs one extra encode but keeps the graph
+        uniform — `encode_rgb_latent` below avoids it when the caller knows
+        the frames are identical.
+        """
+        both = jnp.concatenate([rgb_norm, rgb_next_norm], axis=0)
+        lat = self.encode_rgb(both)
+        return jnp.split(lat, 2, axis=0)
+
+    def rgb_latent_for_task(self, lat, lat_next, task_idx):
+        """Per-task 8-channel conditioning latent [B,h,w,8].
+
+        Two-frame tasks see (lat, lat_next); single-frame tasks see the
+        configured second-frame mode (pipeline:427-447). `task_idx` may be a
+        traced scalar or a [T] vector (then the output gains a leading T axis).
+        """
+        two_frame = jnp.asarray(TWO_FRAME_TABLE)[task_idx]
+        if self.encode_rgb_mode == "duplicate":
+            second = lat
+        elif self.encode_rgb_mode == "zero":
+            second = jnp.zeros_like(lat)
+        else:
+            raise ValueError(self.encode_rgb_mode)
+        if jnp.ndim(two_frame) == 0:
+            nxt = jnp.where(two_frame, lat_next, second)
+            return jnp.concatenate([lat, nxt], axis=-1)
+        nxt = jnp.where(two_frame[:, None, None, None, None],
+                        lat_next[None], second[None])
+        first = jnp.broadcast_to(lat[None], nxt.shape)
+        return jnp.concatenate([first, nxt], axis=-1)  # [T,B,h,w,8]
+
+    def text_embed(self, task_idx, batch_size: int):
+        """[B, L, D] text conditioning for a (traced) task index."""
+        emb = jnp.take(self.text_embed_table, task_idx, axis=0)
+        return jnp.broadcast_to(emb[None], (batch_size,) + emb.shape)
+
+    def noise_latent(self, lat, rng=None):
+        """The third 4-channel group: zeros (deterministic) or gaussian
+        (pipeline:557-562)."""
+        if self.input_noise == "deterministic":
+            return jnp.zeros_like(lat)
+        if self.input_noise == "random":
+            if rng is None:
+                raise ValueError("input_noise='random' requires an rng")
+            return jax.random.normal(rng, lat.shape, lat.dtype)
+        raise ValueError(f"Unknown input noise: {self.input_noise}")
+
+    # ---- child features (multi-stream) --------------------------------
+
+    def aux_task_indices(self, main_idx):
+        """[T_aux] auxiliary-task indices for a traced main task.
+
+        With exclude_main_task the main task is removed from the canonical
+        order (pipeline:483-484); implemented as a traced argsort that moves
+        `main_idx` to the end, keeping ascending order otherwise.
+        """
+        idx = jnp.arange(N_TASKS)
+        if not self.exclude_main_task:
+            return idx
+        order = jnp.argsort(jnp.where(idx == main_idx, N_TASKS, idx))
+        return order[: N_TASKS - 1]
+
+    def create_task_feats(self, lat, lat_next, main_idx, rng=None):
+        """Frozen-child features for every auxiliary task, in ONE forward.
+
+        Returns (aux_idx [T_aux], task_feats: list of 16 arrays
+        [T_aux, B, N_l, C_l]). Tasks are folded into batch for the child
+        UNet (vs. the reference's 6 sequential forwards, pipeline:495-513).
+        """
+        if not self.is_multi_stream:
+            return None, None
+        B = lat.shape[0]
+        aux_idx = self.aux_task_indices(main_idx)
+        T = aux_idx.shape[0]
+
+        rgb_lat = self.rgb_latent_for_task(lat, lat_next, aux_idx)  # [T,B,h,w,8]
+        noise = self.noise_latent(rgb_lat[..., :4], rng)
+        x = jnp.concatenate([rgb_lat, noise], axis=-1)  # [T,B,h,w,12]
+        x = x.reshape((T * B,) + x.shape[2:])
+
+        text = jnp.take(self.text_embed_table, aux_idx, axis=0)  # [T,L,D]
+        text = jnp.broadcast_to(text[:, None], (T, B) + text.shape[1:])
+        text = text.reshape((T * B,) + text.shape[2:])
+
+        _, taps = self.unet_child.apply(
+            jax.lax.stop_gradient(self.unet_child_params),
+            x, jnp.full((T * B,), FIXED_TIMESTEP, jnp.int32), text,
+            tap=self.child_tap, train=False)
+        feats = [t.reshape((T, B) + t.shape[1:]) for t in taps]
+        return aux_idx, feats
+
+    # ---- inference ----------------------------------------------------
+
+    def unet_forward(self, lat, lat_next, task_idx, rng=None, params=None,
+                     train: bool = False, rngs=None):
+        """Main-UNet single step: conditioning latents -> x0 latent pred.
+
+        Parity: pipeline:518-598 (`single_infer` minus the VAE decode).
+        `params` overrides self.unet_params (so the trainer can differentiate
+        through it).
+        """
+        B = lat.shape[0]
+        rgb_lat = self.rgb_latent_for_task(lat, lat_next, task_idx)
+        noise = self.noise_latent(rgb_lat[..., :4], rng)
+        # concat order is load-bearing (pipeline:582-584):
+        # [rgb_latent(8) | output_noise(4)]
+        x = jnp.concatenate([rgb_lat, noise], axis=-1)
+        text = self.text_embed(task_idx, B)
+
+        main_idx = aux_idx = None
+        task_feats = None
+        if self.is_multi_stream:
+            aux_idx, task_feats = self.create_task_feats(
+                lat, lat_next, task_idx, rng)
+            main_idx = task_idx
+
+        t = jnp.full((B,), FIXED_TIMESTEP, jnp.int32)
+        pred, _ = self.unet.apply(
+            params if params is not None else self.unet_params,
+            x, t, text, task_feats=task_feats, main_idx=main_idx,
+            aux_idx=aux_idx, train=train,
+            rngs=rngs)
+        return pred
+
+    def decode_latent(self, latent):
+        """Scaled latent -> 3-channel image in [-1,1] (clipped by callers)."""
+        return self.vae.apply(self.vae_params, latent,
+                              method=AutoencoderKL.decode)
+
+    def infer(self, rgb_norm, rgb_next_norm, task_idx, rng=None):
+        """Full single-step inference: images -> decoded 3ch map [-1,1].
+
+        Task-specific channel selection (decode_3ch_to_task) is applied by
+        the caller, which knows the task statically.
+        """
+        lat, lat_next = self.encode_rgb_pair(rgb_norm, rgb_next_norm)
+        pred_latent = self.unet_forward(lat, lat_next, task_idx, rng)
+        img = self.decode_latent(pred_latent)
+        return jnp.clip(img, -1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Setup helpers
+# ---------------------------------------------------------------------------
+
+def build_text_embed_table(clip_model: CLIPTextModel, clip_params,
+                           tokenizer=None, prompts: Sequence[str] = TASK_PROMPTS):
+    """Embed the task prompts once -> [n_tasks, L, D] table.
+
+    Replaces the per-call CLIP forward of the reference (pipeline:464-473).
+    """
+    from .models.clip import get_tokenizer, tokenize_batch
+
+    if tokenizer is None:
+        tokenizer = get_tokenizer()
+    ids = tokenize_batch(tokenizer, list(prompts))
+    return clip_model.apply(clip_params, jnp.asarray(ids))
