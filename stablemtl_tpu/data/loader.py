@@ -1,0 +1,112 @@
+"""Batch assembly: samples -> fixed-shape device-ready training batches.
+
+The device contract (train_state.make_train_step) is a dict of NHWC arrays:
+rgb_norm, rgb_next_norm, target_3ch [B,H,W,3] float32, valid_mask [B,H,W,1]
+bool, task_idx scalar int32. GT->3ch packing happens HERE on the host
+(pack_gt_to_3ch), so the jitted graph is shape-uniform across tasks — XLA
+compiles once per (H, W, B) bucket (SURVEY.md §7 variable-geometry note).
+
+Prefetch: a small background thread pipelines host IO/augmentation with
+device compute (the reference uses 16 torch dataloader workers,
+train_base_config.yaml:60; this host has one core, so a single prefetch
+thread that overlaps with TPU steps is the right shape).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from ..pipeline import TASK_INDEX, pack_gt_to_3ch
+from .base import OUTPUT_FIELD, OUTPUT_TYPE_FIELD, VALID_MASK_FIELD
+from .sampler import MixedTaskSchedule
+
+
+def collate_train_batch(samples: Sequence[dict]) -> dict:
+    """Stack samples (same dataset => same shape) into the device batch."""
+    task = samples[0][OUTPUT_TYPE_FIELD]
+    rgb = np.stack([s["rgb_norm"] for s in samples]).astype(np.float32)
+    rgb_next = np.stack([s["rgb_next_norm"] for s in samples]) \
+        .astype(np.float32)
+    gt = np.stack([s[OUTPUT_FIELD] for s in samples]).astype(np.float32)
+    mask = np.stack([s[VALID_MASK_FIELD] for s in samples])
+    if mask.ndim == 3:
+        mask = mask[..., None]
+    return {
+        "rgb_norm": rgb,
+        "rgb_next_norm": rgb_next,
+        "target_3ch": pack_gt_to_3ch(gt, task),
+        "valid_mask": mask.astype(bool),
+        "task_idx": np.asarray(TASK_INDEX[task], np.int32),
+    }
+
+
+class MixedTaskLoader:
+    """Iterates (step-aligned) training batches over the mixed datasets."""
+
+    def __init__(self, datasets: Sequence, batch_size: int,
+                 accumulation_steps: int = 1, seed: int = 0,
+                 prob: Optional[Sequence[float]] = None,
+                 iterative_sampling: bool = True,
+                 prefetch: int = 2):
+        self.datasets = list(datasets)
+        self.schedule = MixedTaskSchedule(
+            datasets, batch_size, accumulation_steps, seed=seed, prob=prob,
+            iterative_sampling=iterative_sampling)
+        self.seed = seed
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.schedule)
+
+    def _make_batch(self, step: int, ds_idx: int, indices) -> dict:
+        ds = self.datasets[ds_idx]
+        samples = []
+        for j, idx in enumerate(indices):
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, 15485863, step, j]))
+            samples.append(ds.get(int(idx), rng))
+        batch = collate_train_batch(samples)
+        batch["step"] = step
+        batch["dataset_idx"] = ds_idx
+        return batch
+
+    def batches(self, start_step: int = 0,
+                max_steps: Optional[int] = None) -> Iterator[dict]:
+        """Yield batches from micro-step `start_step` (resume = pass the
+        restored step counter; the schedule replays deterministically)."""
+        self.schedule.fast_forward(start_step)
+        produced = 0
+
+        def gen():
+            nonlocal produced
+            while max_steps is None or produced < max_steps:
+                step = self.schedule.step
+                ds_idx, indices = next(self.schedule)
+                yield self._make_batch(step, ds_idx, indices)
+                produced += 1
+
+        if self.prefetch <= 0:
+            yield from gen()
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+
+        def worker():
+            try:
+                for b in gen():
+                    q.put(b)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item

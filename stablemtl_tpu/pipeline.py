@@ -251,7 +251,66 @@ class StableMTLPipeline:
         feats = [t.reshape((T, B) + t.shape[1:]) for t in taps]
         return aux_idx, feats
 
+    def child_taps_all_tasks(self, lat, lat_next, rng=None):
+        """Child features for ALL n_tasks in one forward: 16 x [T, B, N, C].
+
+        The fused multi-task fast path: computed once, every main stream
+        gathers its 6 auxiliary slices from this table — 7 child-equivalent
+        forwards per image instead of the reference's 7x6
+        (pipeline:495-513 looped per main task).
+        """
+        if not self.is_multi_stream:
+            return None
+        B = lat.shape[0]
+        all_idx = jnp.arange(N_TASKS)
+        rgb_lat = self.rgb_latent_for_task(lat, lat_next, all_idx)
+        noise = self.noise_latent(rgb_lat[..., :4], rng)
+        x = jnp.concatenate([rgb_lat, noise], axis=-1)
+        x = x.reshape((N_TASKS * B,) + x.shape[2:])
+        text = jnp.broadcast_to(self.text_embed_table[:, None],
+                                (N_TASKS, B) + self.text_embed_table.shape[1:])
+        text = text.reshape((N_TASKS * B,) + text.shape[2:])
+        _, taps = self.unet_child.apply(
+            jax.lax.stop_gradient(self.unet_child_params),
+            x, jnp.full((N_TASKS * B,), FIXED_TIMESTEP, jnp.int32), text,
+            tap=self.child_tap, train=False)
+        return [t.reshape((N_TASKS, B) + t.shape[1:]) for t in taps]
+
     # ---- inference ----------------------------------------------------
+
+    def infer_all_tasks(self, rgb_norm, rgb_next_norm, rng=None, params=None):
+        """Fused multi-task inference: one input -> predictions for all tasks.
+
+        Returns [n_tasks, B, H, W, 3] decoded (clipped) maps in canonical
+        task order. Child taps are computed once and shared; the 7 main
+        streams run under vmap (one compiled graph, MXU-sized batches).
+        """
+        lat, lat_next = self.encode_rgb_pair(rgb_norm, rgb_next_norm)
+        B = lat.shape[0]
+        taps_all = self.child_taps_all_tasks(lat, lat_next, rng)
+        t = jnp.full((B,), FIXED_TIMESTEP, jnp.int32)
+        uparams = params if params is not None else self.unet_params
+
+        def one_task(main_idx):
+            rgb_lat = self.rgb_latent_for_task(lat, lat_next, main_idx)
+            noise = self.noise_latent(rgb_lat[..., :4], rng)
+            x = jnp.concatenate([rgb_lat, noise], axis=-1)
+            text = self.text_embed(main_idx, B)
+            if self.is_multi_stream:
+                aux_idx = self.aux_task_indices(main_idx)
+                feats = [jnp.take(tap, aux_idx, axis=0) for tap in taps_all]
+                pred, _ = self.unet.apply(
+                    uparams, x, t, text, task_feats=feats,
+                    main_idx=main_idx, aux_idx=aux_idx, train=False)
+            else:
+                pred, _ = self.unet.apply(uparams, x, t, text, train=False)
+            return pred
+
+        preds = jax.vmap(one_task)(jnp.arange(N_TASKS))  # [T, B, h, w, 4]
+        imgs = self.decode_latent(preds.reshape((-1,) + preds.shape[2:]))
+        imgs = imgs.reshape((N_TASKS, B) + imgs.shape[1:])
+        return jnp.clip(imgs, -1.0, 1.0)
+
 
     def unet_forward(self, lat, lat_next, task_idx, rng=None, params=None,
                      train: bool = False, rngs=None):

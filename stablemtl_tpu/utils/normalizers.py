@@ -92,40 +92,39 @@ class ScaleShiftOpticalFlowNormalizer:
         return (flow_norm - self.norm_min) / self.norm_range
 
 
-def normalize_optical_flow(flow: np.ndarray, mode: str = "hw") -> np.ndarray:
+def _normalize_flow_channels(flow: np.ndarray, n_ch: int, mode: str,
+                             channel_axis: int) -> np.ndarray:
+    assert mode in ("hw", "norm")
+    out = np.array(flow, copy=True)
+    mov = np.moveaxis(out, channel_axis, 0)
+    src = np.moveaxis(flow, channel_axis, 0)
+    if mode == "hw":
+        for c in range(n_ch):
+            m = max(abs(float(src[c].max())), abs(float(src[c].min())))
+            if m > 0:
+                mov[c] = src[c] / m
+    else:
+        m = float(np.linalg.norm(src, axis=0).max())
+        if m > 0:
+            mov[:] = src / m
+    return out
+
+
+def normalize_optical_flow(flow: np.ndarray, mode: str = "hw",
+                           channel_axis: int = 0) -> np.ndarray:
     """Max-abs per-channel ('hw') or global-norm ('norm') flow normalization.
 
     Parity with reference alignment.py:28-44. Channels with all-zero flow are
-    left unscaled.
+    left unscaled. channel_axis=0 matches the reference CHW layout; the data
+    pipeline passes channel_axis=-1 (HWC).
     """
-    assert mode in ("hw", "norm")
-    out = np.array(flow, copy=True)
-    if mode == "hw":
-        for c in range(2):
-            m = max(abs(float(flow[c].max())), abs(float(flow[c].min())))
-            if m > 0:
-                out[c] = flow[c] / m
-    else:
-        m = float(np.linalg.norm(flow, axis=0).max())
-        if m > 0:
-            out = flow / m
-    return out
+    return _normalize_flow_channels(flow, 2, mode, channel_axis)
 
 
-def normalize_scene_flow(scene_flow: np.ndarray, mode: str = "hw") -> np.ndarray:
+def normalize_scene_flow(scene_flow: np.ndarray, mode: str = "hw",
+                         channel_axis: int = 0) -> np.ndarray:
     """Same as optical flow but over 3 channels (reference alignment.py:6-26)."""
-    assert mode in ("hw", "norm")
-    out = np.array(scene_flow, copy=True)
-    if mode == "hw":
-        for c in range(3):
-            m = max(abs(float(scene_flow[c].max())), abs(float(scene_flow[c].min())))
-            if m > 0:
-                out[c] = scene_flow[c] / m
-    else:
-        m = float(np.linalg.norm(scene_flow, axis=0).max())
-        if m > 0:
-            out = scene_flow / m
-    return out
+    return _normalize_flow_channels(scene_flow, 3, mode, channel_axis)
 
 
 def get_depth_normalizer(cfg) -> ScaleShiftDepthNormalizer:

@@ -22,3 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from stablemtl_tpu.utils.compilation_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
