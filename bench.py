@@ -65,7 +65,9 @@ def main():
             cast, pipe.unet_child_params)
         pipe.vae_params = jax.tree_util.tree_map(cast, pipe.vae_params)
 
-    fn = jax.jit(lambda a, b: pipe.infer_all_tasks(a, b))
+    from stablemtl_tpu.pipeline import jit_infer_all_tasks
+
+    fn = jit_infer_all_tasks(pipe)
     rgb = jnp.asarray(
         np.random.RandomState(0).uniform(-1, 1, (batch, res, res, 3)),
         jnp.float32)

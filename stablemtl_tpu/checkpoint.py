@@ -1,0 +1,103 @@
+"""Checkpoint save/restore (orbax) with the reference's resume contract.
+
+Reference behavior (stablemtl_trainer.py:1111-1205, SURVEY.md §5):
+- periodic `latest` checkpoint + immutable `iter_XXXXXX` backups
+- trainer state dict {effective_iter, epoch, n_batch_in_epoch, best_metric,
+  in_evaluation, seed info} saved alongside the weights
+- atomic-ish replacement of `latest` (orbax writes to a tmp dir + renames,
+  strictly better than the reference's `_old_` rename dance)
+- VAE/text-encoder are never saved (frozen, restored from the base weights).
+
+The TPU contract improves on the reference: the data-loader position and all
+per-step randomness derive from the step counter (fold_in), so `step` is the
+only iterator state to persist — no seed lists (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .train_state import TrainState
+
+LATEST = "latest"
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str):
+        self.ckpt_dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # -- save ------------------------------------------------------------
+
+    def save(self, state: TrainState, meta: Optional[dict] = None,
+             name: str = LATEST, overwrite: bool = True):
+        """Save trainable params + optimizer state + step, plus JSON meta."""
+        path = os.path.join(self.ckpt_dir, name)
+        payload = {"step": state.step, "params": state.params,
+                   "opt_state": state.opt_state}
+        if overwrite and os.path.exists(path):
+            # orbax refuses to overwrite; write to tmp then swap
+            tmp = path + ".tmp_swap"
+            self._ckptr.save(tmp, payload)
+            self._ckptr.wait_until_finished()
+            old = path + ".old"
+            os.rename(path, old)
+            os.rename(tmp, path)
+            import shutil
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            self._ckptr.save(path, payload)
+            self._ckptr.wait_until_finished()
+        if meta is not None:
+            with open(os.path.join(self.ckpt_dir, f"{name}.meta.json"),
+                      "w") as f:
+                json.dump(_jsonable(meta), f, indent=2)
+        return path
+
+    def save_backup(self, state: TrainState, meta: Optional[dict] = None):
+        """Immutable iter_XXXXXX backup (trainer save_period/backup_period)."""
+        return self.save(state, meta, name=f"iter_{int(state.step):06d}",
+                         overwrite=False)
+
+    # -- restore ---------------------------------------------------------
+
+    def exists(self, name: str = LATEST) -> bool:
+        return os.path.isdir(os.path.join(self.ckpt_dir, name))
+
+    def restore(self, state: TrainState, name: str = LATEST) -> TrainState:
+        """Restore into the (abstract or concrete) structure of `state`."""
+        path = os.path.join(self.ckpt_dir, name)
+        target = {"step": state.step, "params": state.params,
+                  "opt_state": state.opt_state}
+        restored = self._ckptr.restore(path, target)
+        return state.replace(step=restored["step"],
+                             params=restored["params"],
+                             opt_state=restored["opt_state"])
+
+    def load_meta(self, name: str = LATEST) -> dict:
+        p = os.path.join(self.ckpt_dir, f"{name}.meta.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+
+def _jsonable(obj: Any):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    if isinstance(obj, (np.ndarray, jax.Array)):
+        return np.asarray(obj).tolist()
+    return obj

@@ -1,0 +1,81 @@
+"""Evaluation CLI — rebuild of reference eval_mtl.py:69-344.
+
+Usage:
+    python -m stablemtl_tpu.cli.eval --config config/train_stablemtl.yaml \
+        --checkpoint output/run1/checkpoint --base_data_dir $BASE_DATA_DIR \
+        --split test --output_dir output/run1/eval
+
+Loads the run's config (or a given one), restores the checkpoint, runs the
+per-task metric suite over the requested split, and writes tabulated + CSV
+results (reference logging_util.py:95-112).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Evaluate StableMTL (TPU)")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--checkpoint", default=None,
+                        help="checkpoint dir (with `latest`)")
+    parser.add_argument("--base_data_dir",
+                        default=os.environ.get("BASE_DATA_DIR", "."))
+    parser.add_argument("--output_dir", default="output/eval")
+    parser.add_argument("--split", default="test", choices=["val", "test"])
+    parser.add_argument("--max_samples", type=int, default=None,
+                        help="debug-style truncation (eval_mtl.py:254-276)")
+    parser.add_argument("--seed", type=int, default=2024)
+    args = parser.parse_args(argv)
+
+    from ..checkpoint import CheckpointManager
+    from ..config import recursive_load_config
+    from ..factory import (
+        build_optimizer_config,
+        build_pipeline,
+        build_val_datasets,
+        class_colors,
+    )
+    from ..train_state import create_train_state
+    from ..trainer import StableMTLTrainer, TrainerConfig
+    from ..utils.compilation_cache import enable_persistent_cache
+    from ..utils.logging_util import eval_dict_to_text, setup_logging
+
+    enable_persistent_cache()
+    cfg = recursive_load_config(
+        args.config, root=os.path.dirname(os.path.dirname(
+            os.path.abspath(args.config))))
+    os.makedirs(args.output_dir, exist_ok=True)
+    setup_logging(os.path.join(args.output_dir, "eval.log"))
+    log = logging.getLogger("eval")
+
+    pipeline = build_pipeline(cfg, seed=args.seed)
+    state = create_train_state(pipeline.unet_params,
+                               build_optimizer_config(cfg, 1))
+    if args.checkpoint:
+        mgr = CheckpointManager(args.checkpoint)
+        state = mgr.restore(state)
+        log.info("restored checkpoint at step %d", int(state.step))
+
+    datasets = build_val_datasets(cfg, args.base_data_dir, args.split)
+    trainer = StableMTLTrainer(pipeline, state, loader=None,
+                               config=TrainerConfig(),
+                               val_datasets=datasets,
+                               class_colors=class_colors())
+    results = trainer.validate(max_samples=args.max_samples)
+
+    text = eval_dict_to_text(results)
+    print(text)
+    with open(os.path.join(args.output_dir, "eval_results.json"), "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    with open(os.path.join(args.output_dir, "eval_results.txt"), "w") as f:
+        f.write(text)
+    log.info("wrote results to %s", args.output_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Training CLI — rebuild of reference train_stablemtl.py:67-431.
+
+Usage:
+    python -m stablemtl_tpu.cli.train --config config/train_stablemtl.yaml \
+        --base_data_dir $BASE_DATA_DIR --output_dir output/run1
+
+Auto-resumes if `<output_dir>/checkpoint/latest` exists (reference
+train_stablemtl.py:193-209).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train StableMTL (TPU)")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--base_data_dir",
+                        default=os.environ.get("BASE_DATA_DIR", "."))
+    parser.add_argument("--output_dir", default="output/run")
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--exit_after", type=float, default=-1,
+                        help="minutes before graceful exit w/ checkpoint")
+    parser.add_argument("--no_lr_scheduler", action="store_true")
+    parser.add_argument("--max_iter", type=int, default=None)
+    parser.add_argument("--no_resume", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from ..checkpoint import CheckpointManager
+    from ..config import recursive_load_config
+    from ..factory import (
+        accumulation_steps_of,
+        build_optimizer_config,
+        build_pipeline,
+        build_train_loader,
+        build_val_datasets,
+        class_colors,
+    )
+    from ..train_state import create_train_state
+    from ..trainer import StableMTLTrainer, TrainerConfig
+    from ..utils.compilation_cache import enable_persistent_cache
+    from ..utils.logging_util import setup_logging, TensorBoardWriter
+
+    enable_persistent_cache()
+    cfg = recursive_load_config(
+        args.config, root=os.path.dirname(os.path.dirname(
+            os.path.abspath(args.config))))
+    os.makedirs(args.output_dir, exist_ok=True)
+    setup_logging(os.path.join(args.output_dir,
+                               cfg.get("logging", {}).get("filename",
+                                                          "logging.log")))
+    log = logging.getLogger("train")
+
+    # archive the resolved config (reference train_stablemtl.py:222-236)
+    with open(os.path.join(args.output_dir, "config_resolved.json"),
+              "w") as f:
+        json.dump(cfg.to_dict(), f, indent=2, default=str)
+
+    seed = args.seed if args.seed is not None else \
+        int(cfg.get("trainer", {}).get("init_seed", 2024))
+    n_devices = jax.device_count()
+    accum, per_step = accumulation_steps_of(cfg, n_devices)
+    log.info("devices=%d accumulation=%d per_step_batch=%d",
+             n_devices, accum, per_step)
+
+    pipeline = build_pipeline(cfg, seed=seed)
+    opt_cfg = build_optimizer_config(cfg, accum)
+    if args.no_lr_scheduler:
+        opt_cfg = opt_cfg.__class__(**{**opt_cfg.__dict__,
+                                       "use_schedule": False})
+    state = create_train_state(pipeline.unet_params, opt_cfg)
+
+    loader = build_train_loader(cfg, args.base_data_dir, accum,
+                                per_step, seed=int(cfg["dataloader"]
+                                                   .get("seed", seed)))
+    val_datasets = build_val_datasets(cfg, args.base_data_dir, "val")
+
+    tcfg_src = cfg.get("trainer", {})
+    tcfg = TrainerConfig(
+        max_iter=int(args.max_iter or cfg.get("max_iter", 20000)),
+        gradient_accumulation_steps=accum,
+        save_period=int(tcfg_src.get("save_period", 500)),
+        backup_period=int(tcfg_src.get("backup_period", 1000)),
+        validation_period=int(tcfg_src.get("validation_period", 1000)),
+        log_period=int(tcfg_src.get("log_period", 50)),
+        exit_after_minutes=args.exit_after,
+        base_seed=seed,
+    )
+    ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoint"))
+    writer = TensorBoardWriter(os.path.join(args.output_dir, "tensorboard"))
+
+    trainer = StableMTLTrainer(
+        pipeline, state, loader, tcfg, ckpt=ckpt,
+        val_datasets=val_datasets, metric_writer=writer,
+        class_colors=class_colors())
+    if not args.no_resume:
+        trainer.maybe_resume()
+    trainer.train()
+    ckpt.save(trainer.state, meta={"finished": True})
+    log.info("training done at step %d", int(trainer.state.step))
+
+
+if __name__ == "__main__":
+    main()

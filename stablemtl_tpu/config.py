@@ -98,10 +98,12 @@ def recursive_load_config(path: str, root: str | None = None) -> Config:
     for base_rel in raw.pop("base_config", []) or []:
         base_path = base_rel
         if not os.path.isabs(base_path):
-            cand = os.path.join(root, base_rel)
-            if not os.path.exists(cand):
-                # try package config dir
-                cand = os.path.join(os.path.dirname(__file__), base_rel)
+            repo_root = os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))
+            for cand_root in (root, os.getcwd(), repo_root):
+                cand = os.path.join(cand_root, base_rel)
+                if os.path.exists(cand):
+                    break
             base_path = cand
         base_cfg = recursive_load_config(base_path, root=root)
         merged = merge_dicts(merged, base_cfg.to_dict())

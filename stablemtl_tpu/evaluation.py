@@ -1,0 +1,184 @@
+"""Per-task evaluation: prediction postprocessing, alignment, metrics.
+
+Rebuild of the reference eval dispatch
+(/root/reference/src/trainer/stablemtl_trainer.py:580-1090 and the per-task
+Output postprocessing in stablemtl_pipeline.py:280-368):
+
+- depth/shading/albedo: decoded mean channel(s) mapped [-1,1] -> [0,1]
+- normal: per-pixel L2 normalization of the decoded 3-vector
+- optical/scene flow: decoded channels kept in [-1,1] (normalized units)
+- semantic: nearest-class-color assignment -> class ids
+- depth eval: least-squares scale+shift alignment then clip to the dataset
+  [min_depth, max_depth] then >= 1e-6 (trainer:1035-1052)
+- flow eval: bilinear resize to GT res + per-channel NNLS positive-scale
+  alignment (trainer:878-946)
+- albedo/shading eval: metrics handle scale matching internally
+  (metric_albedo_and_shading.py:67-68)
+
+Evaluation is batch-size-1 per sample (trainer:641) with one jitted infer
+executable per input geometry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import cv2
+import numpy as np
+
+from .data.base import VALID_MASK_FIELD
+from .pipeline import TASK_INDEX, decode_3ch_to_task
+from .utils.alignment import align_depth_least_square, align_flow_least_square
+from .utils.metrics import MetricTracker
+from .utils.metrics.albedo_shading import AlbedoAndShadingMetrics
+from .utils.metrics.depth import (
+    abs_relative_difference,
+    delta1_acc,
+    delta2_acc,
+    delta3_acc,
+    i_rmse,
+    log10,
+    rmse_linear,
+    rmse_log,
+    silog_rmse,
+    squared_relative_difference,
+)
+from .utils.metrics.normal import mean_angular_error
+from .utils.metrics.flow import OpticalFlowMetrics, SceneFlowMetrics
+from .utils.metrics.semantic import SemanticMetrics
+
+DEPTH_METRIC_FUNCS = (
+    abs_relative_difference, squared_relative_difference, rmse_linear,
+    rmse_log, log10, delta1_acc, delta2_acc, delta3_acc, i_rmse, silog_rmse,
+)
+
+
+def make_task_metrics(n_semantic_classes: int = 8) -> Dict[str, object]:
+    """One metric aggregator per task (trainer:594-602)."""
+    return {
+        "depth": MetricTracker(*[f.__name__ for f in DEPTH_METRIC_FUNCS]),
+        "normal": MetricTracker("mean_angular_error"),
+        "semantic": SemanticMetrics(n_semantic_classes),
+        "optical_flow": OpticalFlowMetrics(),
+        "scene_flow": SceneFlowMetrics(),
+        "albedo": AlbedoAndShadingMetrics(),
+        "shading": AlbedoAndShadingMetrics(),
+    }
+
+
+def postprocess_prediction(task: str, pred3: np.ndarray,
+                           class_colors: Optional[np.ndarray] = None):
+    """Decoded, clipped [-1,1] 3ch map [H,W,3] -> task-space prediction.
+
+    Parity: stablemtl_pipeline.py:289-368.
+    """
+    out = decode_3ch_to_task(pred3, task)
+    if task in ("depth", "shading", "albedo"):
+        return (out + 1.0) / 2.0
+    if task == "normal":
+        norm = np.linalg.norm(out, axis=-1, keepdims=True)
+        norm[norm == 0] = 1.0
+        return out / norm
+    if task in ("optical_flow", "scene_flow"):
+        return out
+    if task == "semantic":
+        assert class_colors is not None
+        colors = class_colors.astype(np.float32) / 255.0 * 2.0 - 1.0
+        d2 = ((out[..., None, :] - colors) ** 2).sum(-1)
+        return np.argmin(d2, axis=-1)
+    raise ValueError(task)
+
+
+def _resize_bilinear(arr: np.ndarray, hw) -> np.ndarray:
+    if arr.shape[:2] == tuple(hw):
+        return arr
+    out = cv2.resize(arr, (hw[1], hw[0]), interpolation=cv2.INTER_LINEAR)
+    return out[..., None] if out.ndim == 2 and arr.ndim == 3 else out
+
+
+def evaluate_sample(task: str, pred, sample: dict, metrics,
+                    min_depth: float = 1e-5, max_depth: float = 80.0,
+                    align_max_res: Optional[int] = None) -> None:
+    """Align + update metrics for ONE sample (batch dims added internally)."""
+    if task == "depth":
+        gt = sample["depth_raw_linear"].squeeze(-1)
+        mask = sample[VALID_MASK_FIELD].squeeze(-1).astype(bool)
+        dp = pred.squeeze(-1)
+        dp, _, _ = align_depth_least_square(
+            gt_arr=gt, pred_arr=dp, valid_mask_arr=mask,
+            return_scale_shift=True, max_resolution=align_max_res)
+        dp = np.clip(dp, min_depth, max_depth)
+        dp = np.clip(dp, 1e-6, None)
+        for fn in DEPTH_METRIC_FUNCS:
+            metrics.update(fn.__name__, float(fn(dp, gt, mask)))
+    elif task == "normal":
+        gt = sample["normal"]
+        mask = sample.get("normal_valid_mask", sample.get(VALID_MASK_FIELD))
+        metrics.update("mean_angular_error", float(
+            mean_angular_error(pred[None], gt[None], mask[None])))
+    elif task == "semantic":
+        gt = sample["semantic_class_id"].squeeze(-1)
+        mask = sample[VALID_MASK_FIELD].squeeze(-1)
+        metrics.update(gt[None], pred[None], mask[None])
+    elif task in ("optical_flow", "scene_flow"):
+        key = "optical_flow_raw" if task == "optical_flow" else "scene_flow"
+        gt = sample[key]
+        mask = sample[VALID_MASK_FIELD] if task == "optical_flow" else \
+            sample.get("scene_flow_valid_mask", sample[VALID_MASK_FIELD])
+        fp = _resize_bilinear(pred, gt.shape[:2])
+        aligned = align_flow_least_square(
+            gt_arr=gt, pred_arr=fp, valid_mask_arr=mask,
+            return_scale_shift=False)
+        if task == "optical_flow":
+            metrics.update(aligned[None], gt[None], mask[None])
+        else:
+            metrics.update(aligned[None], gt[None], mask[None])
+    elif task in ("albedo", "shading"):
+        gt = sample[task]
+        mask = sample.get(f"{task}_valid_mask", sample[VALID_MASK_FIELD])
+        fp = _resize_bilinear(pred, gt.shape[:2])
+        if fp.ndim == 2:
+            fp = fp[..., None]
+        metrics.update(fp[None], gt[None], mask[None])
+    else:
+        raise ValueError(task)
+
+
+@dataclasses.dataclass
+class Evaluator:
+    """Runs a dataset through an infer fn and aggregates per-task metrics.
+
+    infer_fn(rgb_norm [1,H,W,3], rgb_next_norm, task_idx) -> [1,H,W,3]
+    decoded clipped prediction (the jitted pipeline.infer).
+    """
+
+    infer_fn: Callable
+    class_colors: Optional[np.ndarray] = None
+    align_max_res: Optional[int] = None
+
+    def evaluate(self, dataset, tasks=None, max_samples: Optional[int] = None,
+                 metrics: Optional[dict] = None) -> Dict[str, dict]:
+        tasks = tasks or [dataset.output_type]
+        if isinstance(tasks, str):
+            tasks = [tasks]
+        metrics = metrics or make_task_metrics()
+        for t in tasks:
+            m = metrics[t]
+            m.reset()
+        n = len(dataset) if max_samples is None else min(len(dataset),
+                                                         max_samples)
+        for i in range(n):
+            sample = dataset.get(i, np.random.default_rng(i))
+            rgb = sample["rgb_norm"][None]
+            rgb_next = sample["rgb_next_norm"][None]
+            for task in tasks:
+                pred3 = np.asarray(self.infer_fn(
+                    rgb, rgb_next, np.asarray(TASK_INDEX[task], np.int32)))[0]
+                pred = postprocess_prediction(task, pred3, self.class_colors)
+                evaluate_sample(
+                    task, pred, sample, metrics[task],
+                    min_depth=dataset.min_depth or 1e-5,
+                    max_depth=dataset.max_depth or 80.0,
+                    align_max_res=self.align_max_res)
+        return {t: metrics[t].result() for t in tasks}

@@ -361,6 +361,57 @@ class StableMTLPipeline:
 
 
 # ---------------------------------------------------------------------------
+# Jit wrappers (params as ARGUMENTS, never baked closure constants)
+# ---------------------------------------------------------------------------
+
+def _params_bundle(pipe: StableMTLPipeline) -> dict:
+    out = {"vae": pipe.vae_params, "unet": pipe.unet_params,
+           "text": pipe.text_embed_table}
+    if pipe.is_multi_stream:
+        out["child"] = pipe.unet_child_params
+    return out
+
+
+def _rebind(pipe: StableMTLPipeline, bundle: dict) -> StableMTLPipeline:
+    return dataclasses.replace(
+        pipe, vae_params=bundle["vae"], unet_params=bundle["unet"],
+        text_embed_table=bundle["text"],
+        unet_child_params=bundle.get("child"))
+
+
+def jit_infer_all_tasks(pipe: StableMTLPipeline):
+    """Jitted fused multi-task inference; parameters are traced arguments
+    (a closure would bake ~GBs of weights into the HLO as constants)."""
+    bundle = _params_bundle(pipe)
+
+    @jax.jit
+    def fn(b, rgb, rgb_next):
+        return _rebind(pipe, b).infer_all_tasks(rgb, rgb_next)
+
+    def wrapped(rgb, rgb_next):
+        return fn(bundle, rgb, rgb_next)
+
+    wrapped.jitted = fn
+    wrapped.bundle = bundle
+    return wrapped
+
+
+def jit_infer(pipe: StableMTLPipeline):
+    """Jitted single-task inference (task index is data)."""
+    bundle = _params_bundle(pipe)
+
+    @jax.jit
+    def fn(b, rgb, rgb_next, task_idx):
+        return _rebind(pipe, b).infer(rgb, rgb_next, task_idx)
+
+    def wrapped(rgb, rgb_next, task_idx):
+        return fn(bundle, rgb, rgb_next, task_idx)
+
+    wrapped.jitted = fn
+    return wrapped
+
+
+# ---------------------------------------------------------------------------
 # Setup helpers
 # ---------------------------------------------------------------------------
 

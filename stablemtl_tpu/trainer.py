@@ -1,0 +1,164 @@
+"""Training orchestration: loop, logging, checkpoint cadence, validation.
+
+Rebuild of reference src/trainer/stablemtl_trainer.py:100-580 around the
+jitted step (train_state.make_train_step). Differences by design:
+
+- Device work is one compiled call per micro-batch; everything here is host
+  orchestration (cadence, EMA logging, checkpoint, validation dispatch).
+- Resume state is {step} + optimizer/params via orbax — the data schedule
+  and all randomness replay from the step counter (no seed lists,
+  no skip_first_batches machinery; SURVEY.md §5 checkpoint/resume).
+- `exit_after` minutes graceful-exit parity (train_stablemtl.py:81-84).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Callable, Dict, Optional, Sequence
+
+import numpy as np
+
+from .checkpoint import CheckpointManager
+from .evaluation import Evaluator, make_task_metrics
+from .pipeline import StableMTLPipeline, TASKS
+from .train_state import TrainState, make_eval_step, make_train_step
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    max_iter: int = 20_000                 # effective iters (train_*.yaml)
+    gradient_accumulation_steps: int = 1
+    save_period: int = 500                 # train_base_config.yaml:34-36
+    backup_period: int = 1000
+    validation_period: int = 1000
+    log_period: int = 50
+    loss_ema: float = 0.98                 # per-task EMA smoothing
+    exit_after_minutes: float = -1.0
+    base_seed: int = 0
+
+
+class StableMTLTrainer:
+    def __init__(self, pipeline: StableMTLPipeline, state: TrainState,
+                 loader, config: TrainerConfig,
+                 ckpt: Optional[CheckpointManager] = None,
+                 val_datasets: Sequence = (),
+                 metric_writer: Optional[Callable[[int, Dict], None]] = None,
+                 class_colors: Optional[np.ndarray] = None):
+        self.pipeline = pipeline
+        self.state = state
+        self.loader = loader
+        self.cfg = config
+        self.ckpt = ckpt
+        self.val_datasets = list(val_datasets)
+        self.metric_writer = metric_writer
+        self.class_colors = class_colors
+
+        self.train_step = make_train_step(pipeline,
+                                          base_seed=config.base_seed)
+        self._eval_step = None
+        self.loss_ema: Dict[str, float] = {}
+
+    # -- resume ----------------------------------------------------------
+
+    def maybe_resume(self) -> int:
+        if self.ckpt is not None and self.ckpt.exists():
+            self.state = self.ckpt.restore(self.state)
+            log.info("resumed from checkpoint at step %d",
+                     int(self.state.step))
+        return int(self.state.step)
+
+    # -- train -----------------------------------------------------------
+
+    @property
+    def effective_iter(self) -> int:
+        return int(self.state.step) // self.cfg.gradient_accumulation_steps
+
+    def train(self) -> TrainState:
+        cfg = self.cfg
+        start_step = int(self.state.step)
+        max_micro = cfg.max_iter * cfg.gradient_accumulation_steps
+        t_start = time.monotonic()
+        step_times = []
+
+        for batch in self.loader.batches(start_step=start_step,
+                                         max_steps=max_micro - start_step):
+            task = TASKS[int(batch["task_idx"])]
+            device_batch = {k: batch[k] for k in (
+                "rgb_norm", "rgb_next_norm", "target_3ch", "valid_mask",
+                "task_idx")}
+            t0 = time.monotonic()
+            self.state, metrics = self.train_step(self.state, device_batch)
+            step = int(self.state.step)
+            eff = step // cfg.gradient_accumulation_steps
+
+            if step % cfg.log_period == 0 or step == max_micro:
+                loss = float(metrics["loss"])
+                step_times.append(time.monotonic() - t0)
+                prev = self.loss_ema.get(task, loss)
+                self.loss_ema[task] = (cfg.loss_ema * prev
+                                       + (1 - cfg.loss_ema) * loss)
+                if float(metrics.get("nan_pred", 0)):
+                    log.warning("model_pred contains NaN at step %d", step)
+                scalars = {"loss": loss, f"loss/{task}": self.loss_ema[task],
+                           "step_time_s": step_times[-1]}
+                if self.metric_writer:
+                    self.metric_writer(step, scalars)
+                log.info("step %d (eff %d) task=%s loss=%.5f", step, eff,
+                         task, loss)
+
+            at_effective = step % cfg.gradient_accumulation_steps == 0
+            if at_effective and self.ckpt is not None:
+                if eff % cfg.save_period == 0:
+                    self.ckpt.save(self.state,
+                                   meta={"effective_iter": eff,
+                                         "loss_ema": self.loss_ema})
+                if eff % cfg.backup_period == 0:
+                    self.ckpt.save_backup(self.state)
+            if (at_effective and self.val_datasets
+                    and eff % cfg.validation_period == 0):
+                results = self.validate()
+                if self.metric_writer:
+                    flat = {f"val/{ds}/{t}/{k}": v
+                            for ds, per in results.items()
+                            for t, r in per.items() for k, v in r.items()}
+                    self.metric_writer(step, flat)
+
+            if (cfg.exit_after_minutes > 0 and
+                    (time.monotonic() - t_start) / 60
+                    > cfg.exit_after_minutes):
+                log.info("exit_after reached; checkpointing and stopping")
+                if self.ckpt is not None:
+                    self.ckpt.save(self.state,
+                                   meta={"effective_iter": eff,
+                                         "interrupted": True})
+                break
+        return self.state
+
+    # -- validation ------------------------------------------------------
+
+    def _evaluator(self) -> Evaluator:
+        if self._eval_step is None:
+            self._eval_step = make_eval_step(self.pipeline)
+
+        def infer(rgb, rgb_next, task_idx):
+            return self._eval_step(self.state.params, {
+                "rgb_norm": rgb, "rgb_next_norm": rgb_next,
+                "task_idx": task_idx})
+
+        return Evaluator(infer_fn=infer, class_colors=self.class_colors)
+
+    def validate(self, max_samples: Optional[int] = None) -> Dict:
+        ev = self._evaluator()
+        results = {}
+        for ds in self.val_datasets:
+            tasks = ds.output_type if isinstance(ds.output_type, (list, tuple)) \
+                else [ds.output_type]
+            results[ds.disp_name] = ev.evaluate(
+                ds, tasks=tasks, max_samples=max_samples,
+                metrics=make_task_metrics())
+            log.info("val %s: %s", ds.disp_name, results[ds.disp_name])
+        return results

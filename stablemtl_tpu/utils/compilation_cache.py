@@ -21,9 +21,18 @@ _enabled = False
 
 
 def enable_persistent_cache(cache_dir: str | None = None) -> str:
-    """Idempotently enable the on-disk compilation cache. Returns the dir."""
+    """Idempotently enable the on-disk compilation cache. Returns the dir.
+
+    Also honors the JAX_PLATFORMS env var, which this environment's
+    sitecustomize otherwise overrides via jax.config (so e.g.
+    JAX_PLATFORMS=cpu works for CLI entry points too)."""
     global _enabled
     cache_dir = cache_dir or DEFAULT_CACHE_DIR
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except RuntimeError:
+            pass  # backend already initialized
     if _enabled:
         return cache_dir
     os.makedirs(cache_dir, exist_ok=True)

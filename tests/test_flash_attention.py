@@ -1,0 +1,73 @@
+"""Flash-attention kernel parity tests (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from stablemtl_tpu.ops.attention import _xla_attention, dot_product_attention
+from stablemtl_tpu.ops.flash_attention import (
+    _pick_block,
+    flash_attention,
+)
+
+
+def test_pick_block():
+    assert _pick_block(4096) == 512
+    assert _pick_block(1728) == 432
+    assert _pick_block(128) == 128
+    assert _pick_block(7) == 0
+
+
+@pytest.mark.parametrize("sq,sk", [(256, 256), (432, 432), (128, 256)])
+def test_flash_matches_xla(sq, sk):
+    rng = np.random.RandomState(0)
+    B, H, D = 2, 3, 64
+    q = jnp.asarray(rng.randn(B, sq, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, sk, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, sk, H, D), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_gradients_match_xla():
+    rng = np.random.RandomState(1)
+    B, S, H, D = 1, 128, 2, 32
+    q = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+
+    def loss_flash(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return flash_attention(q, k, v).sum()
+
+    def loss_ref(q, k, v):
+        return _xla_attention(q, k, v).sum()
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5)
+
+
+def test_bias_falls_back():
+    rng = np.random.RandomState(2)
+    B, S, H, D = 1, 64, 2, 16
+    q = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    bias = jnp.zeros((B, H, S, S))
+    out = flash_attention(q, q, q, bias=bias)
+    ref = _xla_attention(q, q, q, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_dispatch_uses_flash_on_tpu_only():
+    # on CPU test env, dot_product_attention must not take the pallas path
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(1, 2048, 2, 64), jnp.float32)
+    out = dot_product_attention(q, q, q)
+    assert out.shape == q.shape
