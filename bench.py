@@ -65,25 +65,45 @@ def main():
             cast, pipe.unet_child_params)
         pipe.vae_params = jax.tree_util.tree_map(cast, pipe.vae_params)
 
-    from stablemtl_tpu.pipeline import jit_infer_all_tasks
+    from stablemtl_tpu.pipeline import _params_bundle, _rebind
 
-    fn = jit_infer_all_tasks(pipe)
+    # Timing methodology: the device may execute asynchronously behind a
+    # low-bandwidth transport (block_until_ready is not a reliable sync on
+    # the experimental axon tunnel), so we (a) chain iterations through a
+    # data dependency so they cannot overlap or be elided, (b) force
+    # completion by fetching a SCALAR, and (c) measure the per-iteration
+    # slope between two chain lengths to cancel the fixed fetch latency.
+    bundle = _params_bundle(pipe)
+
+    @jax.jit
+    def chain(b, rgb, rgb_next, n):
+        p = _rebind(pipe, b)
+
+        def body(_, carry):
+            r, acc = carry
+            out = p.infer_all_tasks(r, rgb_next)
+            # fold the output back into the next input: serializes iters
+            r = r + out[0].astype(r.dtype) * 1e-8
+            return r, acc + out.mean()
+
+        r, acc = jax.lax.fori_loop(0, n, body, (rgb, jnp.float32(0)))
+        return acc + r.mean()
+
     rgb = jnp.asarray(
         np.random.RandomState(0).uniform(-1, 1, (batch, res, res, 3)),
         jnp.float32)
 
-    out = fn(rgb, rgb)  # compile + warmup
-    out.block_until_ready()
-    out = fn(rgb, rgb)
-    out.block_until_ready()
+    float(chain(bundle, rgb, rgb, 1))  # compile + warmup
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(rgb, rgb)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    def timed(n):
+        t0 = time.perf_counter()
+        float(chain(bundle, rgb, rgb, n))
+        return time.perf_counter() - t0
 
-    imgs_per_s = batch * iters / dt
+    n1, n2 = 2, 2 + iters
+    t1, t2 = timed(n1), timed(n2)
+    per_iter = max((t2 - t1) / (n2 - n1), 1e-9)
+    imgs_per_s = batch / per_iter
     print(json.dumps({
         "metric": f"multitask_images_per_sec_{res}x{res}_{preset}_{backend}",
         "value": round(imgs_per_s, 4),
