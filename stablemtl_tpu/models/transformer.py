@@ -207,7 +207,8 @@ class TaskAttentionBank(nn.Module):
             idx = jax.random.randint(k_pick, (), 0, T_aux)
             mask = jax.nn.one_hot(idx, T_aux, dtype=jnp.float32)
         elif self.attn_mask_type == "highest":
-            mask = jax.nn.one_hot(jnp.argmax(mean_probs), T_aux, jnp.float32)
+            mask = jax.nn.one_hot(jnp.argmax(mean_probs), T_aux,
+                                  dtype=jnp.float32)
         elif self.attn_mask_type == "attn_prob_random_k":
             # multinomial without replacement == Gumbel top-k
             n_mask = jax.random.randint(k_k, (), 1, T_aux)
