@@ -43,7 +43,11 @@ def main(argv=None):
     from ..train_state import create_train_state
     from ..trainer import StableMTLTrainer, TrainerConfig
     from ..utils.compilation_cache import enable_persistent_cache
-    from ..utils.logging_util import eval_dict_to_text, setup_logging
+    from ..utils.logging_util import (
+        eval_dict_to_csv,
+        eval_dict_to_text,
+        setup_logging,
+    )
 
     enable_persistent_cache()
     cfg = recursive_load_config(
@@ -74,6 +78,8 @@ def main(argv=None):
         json.dump(results, f, indent=2, default=float)
     with open(os.path.join(args.output_dir, "eval_results.txt"), "w") as f:
         f.write(text)
+    eval_dict_to_csv(results, os.path.join(args.output_dir,
+                                           "eval_results.csv"))
     log.info("wrote results to %s", args.output_dir)
 
 

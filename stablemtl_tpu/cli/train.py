@@ -89,9 +89,11 @@ def main(argv=None):
         save_period=int(tcfg_src.get("save_period", 500)),
         backup_period=int(tcfg_src.get("backup_period", 1000)),
         validation_period=int(tcfg_src.get("validation_period", 1000)),
+        visualization_period=int(tcfg_src.get("visualization_period", 0)),
         log_period=int(tcfg_src.get("log_period", 50)),
         exit_after_minutes=args.exit_after,
         base_seed=seed,
+        output_dir=args.output_dir,
     )
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoint"))
     writer = TensorBoardWriter(os.path.join(args.output_dir, "tensorboard"))

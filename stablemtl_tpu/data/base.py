@@ -132,10 +132,14 @@ class MTLDataset:
         return (~invalid)[..., None]
 
     def _finalize(self, sample: dict) -> dict:
-        """Resize (train), duplicate-frame fill, dtype hygiene."""
+        """Resize, duplicate-frame fill, dtype hygiene.
+
+        resize_to_hw applies in EVERY mode (reference
+        base_mtl_dataset.py:280-287 resizes the whole raster dict
+        mode-independently with NEAREST_EXACT)."""
         if "rgb_next_norm" not in sample and "rgb_norm" in sample:
             sample["rgb_next_norm"] = sample["rgb_norm"]
-        if self.resize_to_hw is not None and self.mode == DatasetMode.TRAIN:
+        if self.resize_to_hw is not None:
             for k, v in list(sample.items()):
                 if isinstance(v, np.ndarray) and v.ndim >= 2:
                     sample[k] = resize_nearest(v, self.resize_to_hw)

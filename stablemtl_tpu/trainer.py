@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from typing import Callable, Dict, Optional, Sequence
 
@@ -35,10 +36,12 @@ class TrainerConfig:
     save_period: int = 500                 # train_base_config.yaml:34-36
     backup_period: int = 1000
     validation_period: int = 1000
+    visualization_period: int = 0          # 0 disables (reference: 2000)
     log_period: int = 50
     loss_ema: float = 0.98                 # per-task EMA smoothing
     exit_after_minutes: float = -1.0
     base_seed: int = 0
+    output_dir: str = ""
 
 
 class StableMTLTrainer:
@@ -118,6 +121,11 @@ class StableMTLTrainer:
                                          "loss_ema": self.loss_ema})
                 if eff % cfg.backup_period == 0:
                     self.ckpt.save_backup(self.state)
+            if (at_effective and cfg.visualization_period > 0
+                    and self.val_datasets and cfg.output_dir
+                    and eff % cfg.visualization_period == 0):
+                self.visualize(os.path.join(cfg.output_dir, "vis",
+                                            f"iter_{eff:06d}"))
             if (at_effective and self.val_datasets
                     and eff % cfg.validation_period == 0):
                 results = self.validate()
@@ -150,6 +158,33 @@ class StableMTLTrainer:
                 "task_idx": task_idx})
 
         return Evaluator(infer_fn=infer, class_colors=self.class_colors)
+
+    def visualize(self, out_dir: str, max_samples: int = 2) -> None:
+        """Save per-task prediction visualizations for a few val samples
+        (reference visualization_period, trainer:484-518 + visualizer.py)."""
+        from .evaluation import postprocess_prediction
+        from .pipeline import TASK_INDEX
+        from .predict import _visualize
+        from .utils.visualizer import save_image
+
+        ev = self._evaluator()
+        for ds in self.val_datasets:
+            tasks = ds.output_type if isinstance(ds.output_type,
+                                                 (list, tuple)) \
+                else [ds.output_type]
+            for i in range(min(max_samples, len(ds))):
+                sample = ds.get(i, np.random.default_rng(i))
+                for task in tasks:
+                    pred3 = np.asarray(ev.infer_fn(
+                        sample["rgb_norm"][None],
+                        sample["rgb_next_norm"][None],
+                        np.asarray(TASK_INDEX[task], np.int32)))[0]
+                    out = postprocess_prediction(task, pred3,
+                                                 self.class_colors)
+                    save_image(
+                        _visualize(task, out, self.class_colors),
+                        os.path.join(out_dir,
+                                     f"{ds.disp_name}_{i:03d}_{task}.png"))
 
     def validate(self, max_samples: Optional[int] = None) -> Dict:
         ev = self._evaluator()

@@ -139,3 +139,17 @@ def test_evaluator_on_fake_depth():
     res = ev.evaluate(ds, tasks=["depth"], metrics=make_task_metrics())
     assert res["depth"]["abs_relative_difference"] < 1e-3
     assert res["depth"]["delta1_acc"] > 0.999
+
+
+def test_trainer_visualize_writes_pngs(tmp_path):
+    import os
+
+    pipe = _pipeline()
+    state = create_train_state(pipe.unet_params,
+                               OptimizerConfig(use_schedule=False))
+    trainer = StableMTLTrainer(pipe, state, loader=None,
+                               config=TrainerConfig(),
+                               val_datasets=[_FakeDS(n=2)])
+    trainer.visualize(str(tmp_path / "vis"), max_samples=1)
+    files = os.listdir(tmp_path / "vis")
+    assert any(f.endswith("_depth.png") for f in files), files
