@@ -31,3 +31,25 @@ TWO_FRAME_TASKS = ("optical_flow", "scene_flow")
 
 LATENT_SCALE_FACTOR = 0.18215  # reference src/stablemtl_pipeline.py:134-135
 FIXED_TIMESTEP = 999  # single-step inference "like in lotus" (pipeline:552)
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps bare `import stablemtl_tpu` jax-free)."""
+    _lazy = {
+        "StableMTLPipeline": ("stablemtl_tpu.pipeline", "StableMTLPipeline"),
+        "Predictor": ("stablemtl_tpu.predict", "Predictor"),
+        "StableMTLTrainer": ("stablemtl_tpu.trainer", "StableMTLTrainer"),
+        "TrainerConfig": ("stablemtl_tpu.trainer", "TrainerConfig"),
+        "CheckpointManager": ("stablemtl_tpu.checkpoint",
+                              "CheckpointManager"),
+        "Evaluator": ("stablemtl_tpu.evaluation", "Evaluator"),
+        "build_pipeline": ("stablemtl_tpu.factory", "build_pipeline"),
+        "recursive_load_config": ("stablemtl_tpu.config",
+                                  "recursive_load_config"),
+    }
+    if name in _lazy:
+        import importlib
+
+        mod, attr = _lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)
