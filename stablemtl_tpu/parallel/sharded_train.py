@@ -1,0 +1,109 @@
+"""Explicitly-sharded training step: pjit with declared in/out shardings.
+
+The plain `make_train_step` relies on sharding propagation from the batch
+(correct for pure data parallelism). This module makes the layout explicit
+and adds ZeRO-1-style optimizer-state sharding over the `data` axis — the
+TPU-native answer to training the full multi-stream model on small-HBM
+chips (params ~0.9B x2 UNets + Adam moments exceed one v5e's 16 GB; the
+reference instead assumes 8x A100-80GB, config/accelerator/multigpus_8.yaml).
+
+Layout:
+- batch: leading axis over `data`
+- params / frozen: replicated
+- Adam moments (mu, nu): sharded over `data` on the largest divisible axis
+  (XLA inserts all-gathers around the update; memory drops ~2x params per
+  moment tensor per chip)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..pipeline import StableMTLPipeline
+from ..train_state import TrainState, frozen_params_of, make_train_step
+from .mesh import DATA_AXIS, batch_sharding, replicated_sharding
+
+
+def _zero1_sharding_for(x, mesh: Mesh) -> NamedSharding:
+    """Shard the largest axis divisible by the data-axis size; else
+    replicate."""
+    n = mesh.shape[DATA_AXIS]
+    shape = getattr(x, "shape", ())
+    best_axis, best_size = None, 0
+    for i, d in enumerate(shape):
+        if d % n == 0 and d > best_size:
+            best_axis, best_size = i, d
+    if best_axis is None or n == 1:
+        return replicated_sharding(mesh)
+    spec = [None] * len(shape)
+    spec[best_axis] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_train_state(state: TrainState, mesh: Mesh,
+                      zero1: bool = False) -> TrainState:
+    """Place a train state on the mesh: params replicated, opt_state
+    replicated or ZeRO-1 sharded."""
+    rep = replicated_sharding(mesh)
+    params = jax.device_put(state.params, rep)
+    if zero1:
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, _zero1_sharding_for(x, mesh)),
+            state.opt_state)
+    else:
+        opt_state = jax.device_put(state.opt_state, rep)
+    return state.replace(step=jax.device_put(state.step, rep),
+                         params=params, opt_state=opt_state)
+
+
+def make_sharded_train_step(pipeline: StableMTLPipeline, mesh: Mesh,
+                            base_seed: int = 0, zero1: bool = False,
+                            donate: bool = True) -> Callable:
+    """Jitted step with explicit shardings over `mesh`.
+
+    Returns fn(state, batch) like make_train_step; `state` must have been
+    placed with shard_train_state(mesh, zero1=...). Output shardings mirror
+    the inputs so the layout is stable across steps.
+    """
+    inner = make_train_step(pipeline, base_seed=base_seed, donate=False)
+    frozen = inner.frozen
+    rep = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+
+    # Build sharding pytrees from a template state placed per policy.
+    def state_shardings(state: TrainState):
+        params_s = jax.tree_util.tree_map(lambda _: rep, state.params)
+        if zero1:
+            opt_s = jax.tree_util.tree_map(
+                lambda x: _zero1_sharding_for(x, mesh), state.opt_state)
+        else:
+            opt_s = jax.tree_util.tree_map(lambda _: rep, state.opt_state)
+        return TrainState(step=rep, params=params_s, opt_state=opt_s,
+                          tx=state.tx)
+
+    compiled = {}
+
+    def step(state: TrainState, batch):
+        ss = state_shardings(state)
+        key = tuple(sorted((k, tuple(np.shape(v)))
+                           for k, v in batch.items()))
+        if key not in compiled:
+            batch_s = {k: (bsh if np.ndim(v) >= 1 else rep)
+                       for k, v in batch.items()}
+            frozen_s = jax.tree_util.tree_map(lambda _: rep, frozen)
+            metrics_s = None  # let XLA pick (replicated scalars)
+            compiled[key] = jax.jit(
+                inner.jitted.__wrapped__,
+                in_shardings=(ss, frozen_s, batch_s),
+                out_shardings=(ss, metrics_s),
+                donate_argnums=(0,) if donate else (),
+            )
+        with mesh:
+            return compiled[key](state, frozen, batch)
+
+    step.frozen = frozen
+    return step
