@@ -113,10 +113,12 @@ def evaluate_sample(task: str, pred, sample: dict, metrics,
         for fn in DEPTH_METRIC_FUNCS:
             metrics.update(fn.__name__, float(fn(dp, gt, mask)))
     elif task == "normal":
+        # metric parity layout is channel-first [B,3,H,W]
+        # (reference metric_normal.py:10-24); data-layer arrays are HWC
         gt = sample["normal"]
         mask = sample.get("normal_valid_mask", sample.get(VALID_MASK_FIELD))
-        metrics.update("mean_angular_error", float(
-            mean_angular_error(pred[None], gt[None], mask[None])))
+        metrics.update("mean_angular_error", float(mean_angular_error(
+            _chw(pred)[None], _chw(gt)[None], _chw(mask)[None])))
     elif task == "semantic":
         gt = sample["semantic_class_id"].squeeze(-1)
         mask = sample[VALID_MASK_FIELD].squeeze(-1)
@@ -127,22 +129,27 @@ def evaluate_sample(task: str, pred, sample: dict, metrics,
         mask = sample[VALID_MASK_FIELD] if task == "optical_flow" else \
             sample.get("scene_flow_valid_mask", sample[VALID_MASK_FIELD])
         fp = _resize_bilinear(pred, gt.shape[:2])
+        # alignment + metrics are channel-first (reference
+        # alignment.py:82-119, metric_optical_flow.py:67-147)
         aligned = align_flow_least_square(
-            gt_arr=gt, pred_arr=fp, valid_mask_arr=mask,
-            return_scale_shift=False)
-        if task == "optical_flow":
-            metrics.update(aligned[None], gt[None], mask[None])
-        else:
-            metrics.update(aligned[None], gt[None], mask[None])
+            gt_arr=_chw(gt), pred_arr=_chw(fp),
+            valid_mask_arr=mask.squeeze(-1), return_scale_shift=False)
+        metrics.update(aligned[None], _chw(gt)[None], _chw(mask)[None])
     elif task in ("albedo", "shading"):
         gt = sample[task]
         mask = sample.get(f"{task}_valid_mask", sample[VALID_MASK_FIELD])
         fp = _resize_bilinear(pred, gt.shape[:2])
         if fp.ndim == 2:
             fp = fp[..., None]
-        metrics.update(fp[None], gt[None], mask[None])
+        metrics.update(_chw(fp)[None], _chw(gt)[None], _chw(mask)[None])
     else:
         raise ValueError(task)
+
+
+def _chw(x: np.ndarray) -> np.ndarray:
+    """HWC -> CHW (metric/alignment modules keep the reference layout)."""
+    assert x.ndim == 3, x.shape
+    return np.transpose(x, (2, 0, 1))
 
 
 @dataclasses.dataclass

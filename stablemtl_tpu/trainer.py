@@ -72,6 +72,12 @@ class StableMTLTrainer:
             self.state = self.ckpt.restore(self.state)
             log.info("resumed from checkpoint at step %d",
                      int(self.state.step))
+            # interrupted-validation parity (reference in_evaluation flag,
+            # stablemtl_trainer.py:496-505,1195): redo it on resume
+            if self.ckpt.load_meta().get("in_evaluation") \
+                    and self.val_datasets:
+                log.info("checkpoint was saved mid-validation; re-running")
+                self.validate()
         return int(self.state.step)
 
     # -- train -----------------------------------------------------------
@@ -128,7 +134,15 @@ class StableMTLTrainer:
                                             f"iter_{eff:06d}"))
             if (at_effective and self.val_datasets
                     and eff % cfg.validation_period == 0):
+                if self.ckpt is not None:
+                    self.ckpt.save(self.state,
+                                   meta={"effective_iter": eff,
+                                         "in_evaluation": True})
                 results = self.validate()
+                if self.ckpt is not None:
+                    self.ckpt.save(self.state,
+                                   meta={"effective_iter": eff,
+                                         "in_evaluation": False})
                 if self.metric_writer:
                     flat = {f"val/{ds}/{t}/{k}": v
                             for ds, per in results.items()
