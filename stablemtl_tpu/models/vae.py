@@ -53,6 +53,8 @@ class VAEAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.attention import dot_product_attention
+
         B, H, W, C = x.shape
         h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=jnp.float32,
                          name="group_norm")(x)
@@ -60,12 +62,10 @@ class VAEAttention(nn.Module):
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
-        scale = 1.0 / jnp.sqrt(jnp.asarray(C, jnp.float32))
-        logits = jnp.einsum("bqc,bkc->bqk", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        h = jnp.einsum("bqk,bkc->bqc", probs, v,
-                       preferred_element_type=jnp.float32).astype(self.dtype)
+        # single-head attention over H*W tokens; at 512x512 input this is
+        # 4096 tokens — route through the fused/flash dispatch
+        h = dot_product_attention(q[:, :, None, :], k[:, :, None, :],
+                                  v[:, :, None, :])[:, :, 0, :]
         h = nn.Dense(C, dtype=self.dtype, name="to_out_0")(h)
         return x + h.reshape(B, H, W, C)
 
