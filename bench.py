@@ -48,7 +48,8 @@ def main():
     preset = os.environ.get("STABLEMTL_BENCH_PRESET",
                             "full" if on_tpu else "tiny")
     res = int(os.environ.get("STABLEMTL_BENCH_RES", "512" if on_tpu else "64"))
-    batch = int(os.environ.get("STABLEMTL_BENCH_BATCH", "1"))
+    batch = int(os.environ.get("STABLEMTL_BENCH_BATCH",
+                               "4" if on_tpu else "1"))
     iters = int(os.environ.get("STABLEMTL_BENCH_ITERS", "8"))
     dtype = "bfloat16" if on_tpu else "float32"
 

@@ -134,12 +134,29 @@ def _flash_bwd(res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+# VMEM budget for the kernel's working set. The full K and V for one
+# (batch*head) live in VMEM and are double-buffered by the pipeline; leave
+# headroom under the 16 MB scoped limit.
+VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def _vmem_bytes(sq: int, sk: int, d: int, itemsize: int) -> int:
+    block_q = _pick_block(sq)
+    kv = 2 * sk * d * itemsize * 2          # K + V, double-buffered
+    q_acc = block_q * d * (itemsize + 4)    # q block + f32 accumulator
+    p = block_q * _pick_block(sk) * 4       # score block
+    return kv + 2 * q_acc + p
+
+
 def flash_attention(q, k, v, bias=None):
     """Fused attention [B,S,H,D] -> [B,Sq,H,D]; XLA fallback when the shape
-    has no aligned tiling or a bias is present."""
+    has no aligned tiling, a bias is present, or the working set exceeds
+    the VMEM budget (e.g. single-head d=512 VAE attention at long seq)."""
     sq, sk, d = q.shape[1], k.shape[1], q.shape[-1]
     if (bias is not None or d % 8 != 0 or _pick_block(sq) == 0
-            or _pick_block(sk) == 0):
+            or _pick_block(sk) == 0
+            or _vmem_bytes(sq, sk, d, q.dtype.itemsize)
+            > VMEM_BUDGET_BYTES):
         from .attention import _xla_attention
 
         return _xla_attention(q, k, v, bias=bias)
