@@ -248,6 +248,8 @@ def build_optimizer_config(cfg: Config, accumulation_steps: int
                            ) -> OptimizerConfig:
     sched = cfg.get("lr_scheduler", {})
     kw = sched.get("kwargs", {}) if hasattr(sched, "get") else {}
+    opt = cfg.get("optimizer", {})
+    get = lambda k, d: opt.get(k, d) if hasattr(opt, "get") else d
     return OptimizerConfig(
         lr=float(cfg.get("lr", 1e-4)),
         total_iters=int(kw.get("total_iter", cfg.get("max_iter", 25000))),
@@ -255,6 +257,8 @@ def build_optimizer_config(cfg: Config, accumulation_steps: int
         warmup_steps=int(kw.get("warmup_steps", 100)),
         accumulation_steps=accumulation_steps,
         use_schedule=bool(sched),
+        optimizer=str(get("name", "adam")),
+        mu_dtype=get("mu_dtype", None),
     )
 
 

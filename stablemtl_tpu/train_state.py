@@ -63,16 +63,31 @@ class OptimizerConfig:
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-8
+    # memory knobs (the reference assumes 8x A100-80G; on one 16G chip the
+    # Adam moments alone are ~7G for the 0.86B-param UNet):
+    optimizer: str = "adam"                # adam | adamw | adafactor
+    mu_dtype: Optional[str] = None         # e.g. 'bfloat16' halves 1st moment
 
 
 def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     lr = iter_exponential_schedule(
         cfg.lr, cfg.total_iters, cfg.final_ratio, cfg.warmup_steps) \
         if cfg.use_schedule else cfg.lr
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adam(lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps),
-    )
+    mu_dtype = cfg.mu_dtype
+    if cfg.optimizer == "adam":
+        opt = optax.adam(lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
+                         mu_dtype=mu_dtype)
+    elif cfg.optimizer == "adamw":
+        opt = optax.adamw(lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
+                          mu_dtype=mu_dtype)
+    elif cfg.optimizer == "adafactor":
+        # factored second moments: O(sqrt(params)) state — the single-chip
+        # training configuration for the full model
+        opt = optax.adafactor(lr, multiply_by_parameter_scale=False,
+                              clipping_threshold=None)
+    else:
+        raise ValueError(cfg.optimizer)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), opt)
     if cfg.accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulation_steps)
     return tx
