@@ -121,13 +121,16 @@ def flip_flow(flow, mode, valid_mask=None):
 # ---------------------------------------------------------------------------
 
 def _blend(a, b, alpha):
+    """alpha*a + (1-alpha)*b via SIMD when shapes match."""
+    if isinstance(b, np.ndarray) and b.shape == a.shape:
+        return cv2.addWeighted(a, alpha, b, 1.0 - alpha, 0.0)
     return alpha * a + (1.0 - alpha) * b
 
 
 def _rgb_to_gray(img):
-    # torchvision rgb_to_grayscale weights
-    return (0.2989 * img[..., 0] + 0.587 * img[..., 1]
-            + 0.114 * img[..., 2])[..., None]
+    # torchvision rgb_to_grayscale weights (ITU-R 601)
+    g = cv2.transform(img, np.array([[0.2989, 0.587, 0.114]], np.float32))
+    return g[..., None] if g.ndim == 2 else g
 
 
 def _adjust_hue(img01, factor):
@@ -170,10 +173,11 @@ def color_jitter(images_u8, cfg: ColorJitterConfig, rng: np.random.Generator):
             if kind == "b":
                 x = np.clip(f * x, 0, 1)
             elif kind == "c":
-                mean = _rgb_to_gray(x).mean()
+                mean = float(_rgb_to_gray(x).mean())
                 x = np.clip(_blend(x, mean, f), 0, 1)
             elif kind == "s":
-                x = np.clip(_blend(x, _rgb_to_gray(x), f), 0, 1)
+                gray = np.repeat(_rgb_to_gray(x), 3, axis=-1)
+                x = np.clip(_blend(x, gray, f), 0, 1)
             else:
                 x = np.clip(_adjust_hue(x, f), 0, 1)
         out.append((x * 255.0).astype(np.uint8))

@@ -38,9 +38,10 @@ class ScaleShiftDepthNormalizer:
         if valid_mask is None:
             valid_mask = np.ones_like(depth, dtype=bool)
         valid_mask = valid_mask & (depth > 0)
-        # torch.quantile uses linear interpolation — numpy default matches.
+        # torch.quantile uses linear interpolation on float32 — numpy's
+        # default interpolation matches; stay in f32 like the reference.
         lo, hi = np.quantile(
-            depth[valid_mask].astype(np.float64),
+            depth[valid_mask].astype(np.float32, copy=False),
             [self.min_quantile, self.max_quantile],
         )
         out = (depth - lo) / (hi - lo) * self.norm_range + self.norm_min
