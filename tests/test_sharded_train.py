@@ -90,3 +90,35 @@ def test_sharded_step_matches_unsharded():
     assert leaves, "no shardable moment leaves found"
     assert any(not l.sharding.is_fully_replicated for l in leaves), \
         "ZeRO-1: expected at least one sharded optimizer moment"
+
+
+def test_infer_all_tasks_data_parallel():
+    """Fused multi-task inference under the 8-device mesh: no cross-sample
+    leakage (exact permutation equivariance) and deterministic.
+
+    Direct sharded-vs-unsharded value comparison is meaningless on an
+    untrained net: per-shard conv tiling changes float reassociation at
+    ~1e-7 and the random GroupNorm chains amplify it chaotically (measured:
+    latents agree to 2.6e-7, decoded outputs diverge to ~1e-2)."""
+    from stablemtl_tpu.pipeline import jit_infer_all_tasks
+    from stablemtl_tpu.parallel import batch_sharding
+
+    mesh = make_mesh()
+    pipe = _pipeline()
+    fn = jit_infer_all_tasks(pipe)
+    rgb = np.random.RandomState(0).uniform(-1, 1, (8, 16, 16, 3)) \
+        .astype(np.float32)
+    sh = batch_sharding(mesh)
+
+    with mesh:
+        out = np.asarray(fn(jax.device_put(jnp.asarray(rgb), sh),
+                            jax.device_put(jnp.asarray(rgb), sh)))
+        out2 = np.asarray(fn(jax.device_put(jnp.asarray(rgb), sh),
+                             jax.device_put(jnp.asarray(rgb), sh)))
+        rev = rgb[::-1].copy()
+        out_rev = np.asarray(fn(jax.device_put(jnp.asarray(rev), sh),
+                                jax.device_put(jnp.asarray(rev), sh)))
+    assert out.shape == (7, 8, 16, 16, 3)
+    assert np.isfinite(out).all()
+    np.testing.assert_array_equal(out, out2)            # deterministic
+    np.testing.assert_array_equal(out_rev, out[:, ::-1])  # equivariant
