@@ -10,6 +10,7 @@ structure by models.torch_convert.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 from typing import Optional, Tuple
@@ -94,6 +95,12 @@ def build_pipeline(cfg: Config, seed: int = 0) -> StableMTLPipeline:
     remat = bool(model_cfg.get("remat", False))
     ucfg, ccfg, vcfg, text_dim = model_configs(
         preset, multi_stream, trainer_cfg, dtype=dtype, remat=remat)
+    # 'avg' second-frame mode has one 4ch rgb group -> conv_in 8 channels
+    # (reference util/model.py:191-194 repeat=2)
+    pipe_cfg_early = cfg.get("pipeline", {})
+    if pipe_cfg_early.get("encode_rgb_model", "duplicate") == "avg":
+        ucfg = dataclasses.replace(ucfg, in_channels=8)
+        ccfg = dataclasses.replace(ccfg, in_channels=8)
 
     rng = jax.random.PRNGKey(seed)
     k = jax.random.split(rng, 6)
@@ -104,7 +111,7 @@ def build_pipeline(cfg: Config, seed: int = 0) -> StableMTLPipeline:
     H = 64  # init geometry is irrelevant to the params
     lat = H // 8
     text = jnp.zeros((1, 5, text_dim))
-    x12 = jnp.zeros((1, lat, lat, 12))
+    x12 = jnp.zeros((1, lat, lat, ucfg.in_channels))
     t0 = jnp.zeros((1,), jnp.int32)
 
     vae_params = init_params(vae, k[0], jnp.zeros((1, H, H, 3)))

@@ -169,14 +169,30 @@ class StableMTLPipeline:
         lat = self.encode_rgb(both)
         return jnp.split(lat, 2, axis=0)
 
+    @property
+    def rgb_latent_channels(self) -> int:
+        """4 in 'avg' mode (conv_in repeat=2), else 8 (repeat=3)
+        (reference util/model.py:191-194)."""
+        return 4 if self.encode_rgb_mode == "avg" else 8
+
     def rgb_latent_for_task(self, lat, lat_next, task_idx):
-        """Per-task 8-channel conditioning latent [B,h,w,8].
+        """Per-task conditioning latent [B,h,w,{4|8}].
 
         Two-frame tasks see (lat, lat_next); single-frame tasks see the
-        configured second-frame mode (pipeline:427-447). `task_idx` may be a
-        traced scalar or a [T] vector (then the output gains a leading T axis).
+        configured second-frame mode (pipeline:427-447): 'duplicate'
+        (default), 'zero', or 'avg' (mean of the two frame latents, a
+        single 4-channel group). `task_idx` may be a traced scalar or a [T]
+        vector (then the output gains a leading T axis).
         """
         two_frame = jnp.asarray(TWO_FRAME_TABLE)[task_idx]
+        if self.encode_rgb_mode == "avg":
+            # avg mode: one 4ch group; (lat+lat_next)/2 for two-frame tasks,
+            # lat itself otherwise (pipeline:443-447)
+            avg = (lat + lat_next) / 2.0
+            if jnp.ndim(two_frame) == 0:
+                return jnp.where(two_frame, avg, lat)
+            return jnp.where(two_frame[:, None, None, None, None],
+                             avg[None], lat[None])
         if self.encode_rgb_mode == "duplicate":
             second = lat
         elif self.encode_rgb_mode == "zero":
@@ -228,6 +244,12 @@ class StableMTLPipeline:
         Returns (aux_idx [T_aux], task_feats: list of 16 arrays
         [T_aux, B, N_l, C_l]). Tasks are folded into batch for the child
         UNet (vs. the reference's 6 sequential forwards, pipeline:495-513).
+
+        The reference's `drop_ratio` (randomly remove one aux task from the
+        key set, pipeline:486-489 — 0.0 in every shipped config) is served
+        here by the task-masking regularizer (-inf key bias,
+        models/transformer.TaskAttentionBank._mask_bias), which is the
+        shape-static formulation of the same regularization.
         """
         if not self.is_multi_stream:
             return None, None

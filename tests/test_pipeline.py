@@ -146,3 +146,21 @@ def test_multi_stream_infer_and_taskfeats():
     p0 = fn(jnp.asarray(0))
     p1 = fn(jnp.asarray(2))
     assert p0.shape == p1.shape == lat.shape
+
+
+def test_avg_encode_mode():
+    import dataclasses
+
+    pipe = dataclasses.replace(_tiny_pipeline(), encode_rgb_mode="avg")
+    lat = jnp.ones((1, 2, 2, 4))
+    lat_next = jnp.full((1, 2, 2, 4), 3.0)
+    # single-frame task: just lat (4ch)
+    out = pipe.rgb_latent_for_task(lat, lat_next,
+                                   jnp.asarray(task_index("depth")))
+    assert out.shape == (1, 2, 2, 4)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(lat))
+    # two-frame: mean of the two latents
+    out = pipe.rgb_latent_for_task(
+        lat, lat_next, jnp.asarray(task_index("optical_flow")))
+    np.testing.assert_allclose(np.asarray(out), 2.0)
+    assert pipe.rgb_latent_channels == 4
