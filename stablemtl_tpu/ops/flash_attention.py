@@ -27,6 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 MAX_BLOCK = 512
 NEG_INF = -1e30
+LANE = 8  # lane width for saved per-row vectors (lse/delta)
 
 
 def _pick_block(s: int, max_block: int = MAX_BLOCK) -> int:
@@ -38,7 +39,8 @@ def _pick_block(s: int, max_block: int = MAX_BLOCK) -> int:
     return best
 
 
-def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
+               scale: float):
     q = q_ref[0].astype(jnp.float32) * scale          # [Bq, D]
     bq, d = q.shape
     s_len = k_ref.shape[1]
@@ -65,24 +67,102 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
     acc0 = jnp.zeros((bq, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
     o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
+    # logsumexp per query row (softmax denominators for the backward);
+    # stored lane-replicated [Bq, LANE] to satisfy TPU block tiling
+    lse = m + jnp.log(l)
+    lse_ref[0] = jnp.broadcast_to(lse[:, None], (bq, LANE))
+
+
+def _fa_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                  *, block_k: int, scale: float):
+    """dQ for one (batch*head, q-block): dQ = scale * [P o (dO K^T-ish)].
+
+    dS = P o (dP - delta) with dP = dO V^T, delta = rowsum(dO o O);
+    dQ = dS K * scale (flash attention 2 backward, q-parallel part).
+    """
+    q = q_ref[0].astype(jnp.float32)                  # [Bq, D]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :, 0]                            # [Bq] (lane 0)
+    delta = delta_ref[0, :, 0]
+    bq, d = q.shape
+    nk = k_ref.shape[1] // block_k
+
+    def body(i, dq):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse[:, None])                 # [Bq, Bk]
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, nk, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _fa_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dk_ref, dv_ref, *, block_q: int, scale: float):
+    """dK, dV for one (batch*head, k-block), looping over q blocks."""
+    k = k_ref[0].astype(jnp.float32)                  # [Bk, D]
+    v = v_ref[0].astype(jnp.float32)
+    bk, d = k.shape
+    nq = q_ref.shape[1] // block_q
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), 0]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse[:, None])                 # [Bq, Bk]
+        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])                # [Bq, Bk]
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk0 = jnp.zeros((bk, d), jnp.float32)
+    dv0 = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, nq, body, (dk0, dv0))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _fold(x):
+    b, s, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+
+def _unfold(x, b, h):
+    bh, s, d = x.shape
+    return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
 def _flash_forward(q, k, v):
-    """q,k,v: [B, S, H, D] (kv seq may differ from q seq)."""
+    """q,k,v: [B, S, H, D] (kv seq may differ from q seq).
+
+    Returns (out [B,Sq,H,D], lse [B*H, Sq]) — lse saved for the backward.
+    """
     b, sq, h, d = q.shape
     sk = k.shape[1]
     block_q = _pick_block(sq)
     block_k = _pick_block(sk)
 
-    qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
-    vf = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
-
+    qf, kf, vf = _fold(q), _fold(k), _fold(v)
     scale = float(d) ** -0.5
     kernel = functools.partial(_fa_kernel, block_k=block_k, scale=scale)
     grid = (b * h, sq // block_q)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -93,16 +173,72 @@ def _flash_forward(q, k, v):
             pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, LANE), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq, LANE), jnp.float32),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq * sk * d,
             bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
             transcendentals=b * h * sq * sk,
         ),
     )(qf, kf, vf)
-    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    return _unfold(out, b, h), lse
+
+
+def _flash_backward(q, k, v, out, lse, g):
+    """Pallas flash backward: returns (dq, dk, dv), all [B,S,H,D]."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    block_q = _pick_block(sq)
+    block_k = _pick_block(sk)
+    scale = float(d) ** -0.5
+
+    qf, kf, vf = _fold(q), _fold(k), _fold(v)
+    dof = _fold(g)
+    # delta = rowsum(dO o O) — cheap elementwise, computed in XLA;
+    # lane-replicated like lse
+    delta = jnp.sum(dof.astype(jnp.float32)
+                    * _fold(out).astype(jnp.float32), axis=-1)  # [BH, Sq]
+    delta = jnp.broadcast_to(delta[..., None], delta.shape + (LANE,))
+
+    qspec = pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    qfull = pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kfull = pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    vec_q = pl.BlockSpec((1, block_q, LANE), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    vec_qfull = pl.BlockSpec((1, sq, LANE), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_fa_dq_kernel, block_k=block_k, scale=scale),
+        grid=(b * h, sq // block_q),
+        in_specs=[qspec, kfull, kfull, qspec, vec_q, vec_q],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+    )(qf, kf, vf, dof, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_fa_dkv_kernel, block_q=block_q, scale=scale),
+        grid=(b * h, sk // block_k),
+        in_specs=[qfull, kspec, kspec, qfull, vec_qfull, vec_qfull],
+        out_specs=(kspec, kspec),
+        out_shape=(jax.ShapeDtypeStruct((b * h, sk, d), k.dtype),
+                   jax.ShapeDtypeStruct((b * h, sk, d), v.dtype)),
+    )(qf, kf, vf, dof, lse, delta)
+
+    return (_unfold(dq, b, h), _unfold(dk, b, h), _unfold(dv, b, h))
 
 
 def _xla_reference(q, k, v):
@@ -118,17 +254,18 @@ def _xla_reference(q, k, v):
 
 @jax.custom_vjp
 def _flash(q, k, v):
-    return _flash_forward(q, k, v)
+    out, _ = _flash_forward(q, k, v)
+    return out
 
 
 def _flash_fwd(q, k, v):
-    return _flash_forward(q, k, v), (q, k, v)
+    out, lse = _flash_forward(q, k, v)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(_xla_reference, q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = res
+    return _flash_backward(q, k, v, out, lse, g)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)

@@ -42,17 +42,17 @@ def test_flash_gradients_match_xla():
     v = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
 
     def loss_flash(q, k, v):
-        with pltpu.force_tpu_interpret_mode():
-            return flash_attention(q, k, v).sum()
+        return flash_attention(q, k, v).sum()
 
     def loss_ref(q, k, v):
         return _xla_attention(q, k, v).sum()
 
-    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=3e-5, rtol=3e-5)
+                                   atol=1e-4, rtol=1e-4)
 
 
 def test_bias_falls_back():
@@ -71,3 +71,44 @@ def test_dispatch_uses_flash_on_tpu_only():
     q = jnp.asarray(rng.randn(1, 2048, 2, 64), jnp.float32)
     out = dot_product_attention(q, q, q)
     assert out.shape == q.shape
+
+
+def test_flash_pallas_backward_matches_xla():
+    """The Pallas backward kernels (dq/dkv with saved LSE) must match the
+    XLA reference gradients."""
+    rng = np.random.RandomState(7)
+    B, S, H, D = 1, 256, 2, 64
+    q = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    cot = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v) * cot).sum()
+
+    def loss_ref(q, k, v):
+        return (_xla_attention(q, k, v) * cot).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_flash_backward_cross_attention_shapes():
+    """Different q/kv sequence lengths through the backward."""
+    rng = np.random.RandomState(8)
+    q = jnp.asarray(rng.randn(1, 128, 2, 32), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 256, 2, 32), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 256, 2, 32), jnp.float32)
+
+    def loss(q, k, v):
+        return flash_attention(q, k, v).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert gq.shape == q.shape and gk.shape == k.shape and gv.shape == v.shape
+    for g in (gq, gk, gv):
+        assert bool(jnp.all(jnp.isfinite(g)))
