@@ -89,8 +89,8 @@ def test_remat_matches_no_remat():
     g2 = grads_of(p2)
     for a, c in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-5,
-                                   rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-4,
+                                   rtol=2e-3)
 
 
 def test_shape_buckets_coexist():

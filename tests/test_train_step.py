@@ -112,7 +112,7 @@ def test_train_step_data_parallel_mesh():
     step2 = make_train_step(pipe2, donate=False)
     _, m2 = step2(state2, _batch(B=8))
     np.testing.assert_allclose(float(metrics["loss"]), float(m2["loss"]),
-                               rtol=2e-4)
+                               rtol=1e-3)
 
 
 def test_eval_step_shapes():
