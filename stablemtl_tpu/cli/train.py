@@ -58,10 +58,23 @@ def main(argv=None):
                                                           "logging.log")))
     log = logging.getLogger("train")
 
-    # archive the resolved config (reference train_stablemtl.py:222-236)
+    # archive the resolved config + a code snapshot
+    # (reference train_stablemtl.py:222-236)
     with open(os.path.join(args.output_dir, "config_resolved.json"),
               "w") as f:
         json.dump(cfg.to_dict(), f, indent=2, default=str)
+    try:
+        import tarfile
+
+        pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        snap = os.path.join(args.output_dir, "code_snapshot.tar.gz")
+        if not os.path.exists(snap):
+            with tarfile.open(snap, "w:gz") as tar:
+                tar.add(pkg_dir, arcname="stablemtl_tpu",
+                        filter=lambda ti: None
+                        if "__pycache__" in ti.name else ti)
+    except OSError:
+        pass
 
     seed = args.seed if args.seed is not None else \
         int(cfg.get("trainer", {}).get("init_seed", 2024))
