@@ -29,6 +29,8 @@ def main(argv=None):
     parser.add_argument("--split", default="test", choices=["val", "test"])
     parser.add_argument("--max_samples", type=int, default=None,
                         help="debug-style truncation (eval_mtl.py:254-276)")
+    parser.add_argument("--save_predictions", action="store_true",
+                        help="save per-sample prediction visualizations")
     parser.add_argument("--seed", type=int, default=2024)
     args = parser.parse_args(argv)
 
@@ -91,6 +93,9 @@ def main(argv=None):
                                val_datasets=datasets,
                                class_colors=class_colors())
     results = trainer.validate(max_samples=args.max_samples)
+    if args.save_predictions:
+        trainer.visualize(os.path.join(args.output_dir, "predictions"),
+                          max_samples=args.max_samples or 8)
 
     text = eval_dict_to_text(results)
     print(text)

@@ -79,6 +79,32 @@ def resize_nearest(arr: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
     return out.astype(bool) if was_bool else out
 
 
+class DepthFileNameMode(enum.Enum):
+    """Prediction file naming modes (base_mtl_dataset.py:32-38)."""
+
+    id = 1        # id.png -> pred_id.png
+    rgb_id = 2    # rgb_id.png -> pred_id.png
+    i_d_rgb = 3   # i_d_1_rgb.png -> i_d_1_pred.png
+    rgb_i_d = 4   # rgb_i_d.png -> pred_i_d.png
+
+
+def get_pred_name(rgb_basename: str, name_mode: DepthFileNameMode,
+                  suffix: str = ".png") -> str:
+    """Prediction filename from the rgb filename
+    (base_mtl_dataset.py:348-362)."""
+    if name_mode == DepthFileNameMode.rgb_id:
+        pred_basename = "pred_" + rgb_basename.split("_")[1]
+    elif name_mode == DepthFileNameMode.i_d_rgb:
+        pred_basename = rgb_basename.replace("_rgb.", "_pred.")
+    elif name_mode == DepthFileNameMode.id:
+        pred_basename = "pred_" + rgb_basename
+    elif name_mode == DepthFileNameMode.rgb_i_d:
+        pred_basename = "pred_" + "_".join(rgb_basename.split("_")[1:])
+    else:
+        raise NotImplementedError(name_mode)
+    return os.path.splitext(pred_basename)[0] + suffix
+
+
 class MTLDataset:
     """Base class: filename-list loading, raster source, shared helpers."""
 

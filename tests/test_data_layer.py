@@ -319,3 +319,15 @@ def test_loader_collates_and_packs():
     for a, b in zip(batches, batches2):
         np.testing.assert_array_equal(a["rgb_norm"], b["rgb_norm"])
         np.testing.assert_array_equal(a["task_idx"], b["task_idx"])
+
+
+def test_get_pred_name_modes():
+    from stablemtl_tpu.data.base import DepthFileNameMode, get_pred_name
+
+    assert get_pred_name("0001.png", DepthFileNameMode.id) == "pred_0001.png"
+    assert get_pred_name("rgb_0001.png",
+                         DepthFileNameMode.rgb_id) == "pred_0001.png"
+    assert get_pred_name("i_d_1_rgb.png",
+                         DepthFileNameMode.i_d_rgb) == "i_d_1_pred.png"
+    assert get_pred_name("rgb_3_7.jpg", DepthFileNameMode.rgb_i_d,
+                         suffix=".npy") == "pred_3_7.npy"
