@@ -67,6 +67,9 @@ class OptimizerConfig:
     # Adam moments alone are ~7G for the 0.86B-param UNet):
     optimizer: str = "adam"                # adam | adamw | adafactor
     mu_dtype: Optional[str] = None         # e.g. 'bfloat16' halves 1st moment
+    # robustness: drop steps with non-finite grads instead of poisoning the
+    # params (the reference only logs a NaN warning, trainer:307-308)
+    skip_nonfinite_updates: int = 0        # 0 = off; N = max consecutive skips
 
 
 def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
@@ -88,6 +91,8 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     else:
         raise ValueError(cfg.optimizer)
     tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), opt)
+    if cfg.skip_nonfinite_updates > 0:
+        tx = optax.apply_if_finite(tx, cfg.skip_nonfinite_updates)
     if cfg.accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulation_steps)
     return tx

@@ -106,3 +106,23 @@ def test_shape_buckets_coexist():
     for m in (m1, m2, m3):
         assert np.isfinite(float(m["loss"]))
     assert int(state.step) == 3
+
+
+def test_skip_nonfinite_updates():
+    """A NaN batch must not poison the params when the guard is on."""
+    pipe = _pipeline()
+    state = create_train_state(
+        pipe.unet_params,
+        OptimizerConfig(lr=1e-3, use_schedule=False,
+                        skip_nonfinite_updates=3))
+    step = make_train_step(pipe, donate=False)
+    state, m = step(state, _batch(seed=0))
+    p_before = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+    bad = _batch(seed=1)
+    bad["rgb_norm"][0, 0, 0, 0] = np.nan
+    state, m = step(state, bad)
+    p_after = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    np.testing.assert_array_equal(p_before, p_after)  # update skipped
+    # training continues on good batches
+    state, m = step(state, _batch(seed=2))
+    assert np.isfinite(float(m["loss"]))
