@@ -90,11 +90,22 @@ def main():
         r, acc = jax.lax.fori_loop(0, n, body, (rgb, jnp.float32(0)))
         return acc + r.mean()
 
-    rgb = jnp.asarray(
-        np.random.RandomState(0).uniform(-1, 1, (batch, res, res, 3)),
-        jnp.float32)
-
-    float(chain(bundle, rgb, rgb, 1))  # compile + warmup
+    # insurance: if the requested batch OOMs on this chip, halve and retry
+    while True:
+        rgb = jnp.asarray(
+            np.random.RandomState(0).uniform(-1, 1, (batch, res, res, 3)),
+            jnp.float32)
+        try:
+            float(chain(bundle, rgb, rgb, 1))  # compile + warmup
+            break
+        except Exception as e:
+            if batch > 1 and ("memory" in str(e).lower()
+                              or "exhausted" in str(e).lower()):
+                batch //= 2
+                print(f"# OOM, retrying with batch {batch}",
+                      file=sys.stderr)
+                continue
+            raise
 
     def timed(n):
         t0 = time.perf_counter()
