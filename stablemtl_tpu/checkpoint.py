@@ -81,6 +81,26 @@ class CheckpointManager:
                              params=restored["params"],
                              opt_state=restored["opt_state"])
 
+    def restore_params_only(self, state: TrainState,
+                            name: str = LATEST) -> TrainState:
+        """Restore step + params, ignoring the optimizer state.
+
+        Eval must not reconstruct the training optimizer tree: a run trained
+        with gradient accumulation has a MultiStepsState opt_state whose
+        structure depends on accumulation_steps, and rebuilding it wrong
+        makes a full `restore` fail on tree mismatch (reference eval loads
+        only the UNet weights, eval_mtl.py:317-344 /
+        stablemtl_trainer.py:1176-1181).
+        """
+        path = os.path.join(self.ckpt_dir, name)
+        raw = self._ckptr.restore(path)  # structure-free restore
+        params = jax.tree_util.tree_map(
+            lambda tgt, new: np.asarray(new).astype(np.asarray(tgt).dtype)
+            if hasattr(tgt, "dtype") else new,
+            state.params, raw["params"])
+        return state.replace(step=np.asarray(raw["step"]).astype(np.int32),
+                             params=params)
+
     def load_meta(self, name: str = LATEST) -> dict:
         p = os.path.join(self.ckpt_dir, f"{name}.meta.json")
         if not os.path.exists(p):

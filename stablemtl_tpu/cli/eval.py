@@ -83,9 +83,12 @@ def main(argv=None):
     state = create_train_state(pipeline.unet_params,
                                build_optimizer_config(cfg, 1))
     if args.checkpoint:
+        # params-only restore: the checkpoint's opt_state tree depends on the
+        # training accumulation_steps (MultiStepsState) and is irrelevant to
+        # eval (reference loads only the UNet, eval_mtl.py:317-344)
         mgr = CheckpointManager(args.checkpoint)
-        state = mgr.restore(state)
-        log.info("restored checkpoint at step %d", int(state.step))
+        state = mgr.restore_params_only(state)
+        log.info("restored checkpoint params at step %d", int(state.step))
 
     datasets = build_val_datasets(cfg, args.base_data_dir, args.split)
     trainer = StableMTLTrainer(pipeline, state, loader=None,

@@ -104,6 +104,7 @@ def main(argv=None):
         validation_period=int(tcfg_src.get("validation_period", 1000)),
         visualization_period=int(tcfg_src.get("visualization_period", 0)),
         log_period=int(tcfg_src.get("log_period", 50)),
+        log_grad_norm=bool(tcfg_src.get("log_grad_norm", False)),
         exit_after_minutes=args.exit_after,
         base_seed=seed,
         output_dir=args.output_dir,

@@ -121,9 +121,18 @@ class MTLDataset:
         resize_to_hw: Optional[Sequence[int]] = None,
         augmentation: Optional[AugmentationConfig] = None,
         depth_normalizer=None,
+        output_type=None,
         **_unused,
     ):
         self.mode = mode
+        # Config entries may request several eval tasks per dataset, e.g.
+        # [depth, normal] for DIODE or [optical_flow, scene_flow] for
+        # kitti_flow (reference dataset_test.yaml; eval loops over
+        # dataset.output_type, stablemtl_trainer.py:650-660). Honor the
+        # kwarg; fall back to the class default.
+        if output_type is not None:
+            self.output_type = list(output_type) \
+                if isinstance(output_type, (list, tuple)) else output_type
         self.filename_ls_path = filename_ls_path
         self.dataset_dir = dataset_dir
         self.disp_name = disp_name or os.path.basename(dataset_dir)

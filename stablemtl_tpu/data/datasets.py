@@ -43,6 +43,7 @@ from .io import (
     decode_vkitti_depth,
     decode_vkitti_flow,
     decode_vkitti_scene_flow,
+    disp2pc,
     read_rgb,
     rgb_to_norm,
 )
@@ -410,19 +411,9 @@ class KittiFlowDataset(MTLDataset):
                 return np.array(vals, np.float32).reshape(3, 4)
         raise ValueError("P_rect_02 not found")
 
-    @staticmethod
-    def disp2pc(disp, baseline, f, cx, cy, flow=None):
-        h, w = disp.shape
-        depth = baseline * f / (disp + 1e-5)
-        xx = np.tile(np.arange(w, np.float32)[None, :], (h, 1))
-        yy = np.tile(np.arange(h, np.float32)[:, None], (1, w))
-        if flow is None:
-            x = (xx - cx) * depth / f
-            y = (yy - cy) * depth / f
-        else:
-            x = (xx - cx + flow[..., 0]) * depth / f
-            y = (yy - cy + flow[..., 1]) * depth / f
-        return np.stack([x, y, depth], axis=-1)
+    # shared pinhole back-projection (data.io.disp2pc; the reference
+    # duplicates it in kitti_flow_dataset.py:64-85 and FT3D utils.py:319)
+    disp2pc = staticmethod(disp2pc)
 
     def _get_data_item(self, index, rng):
         flow_rel = self.filenames[index][0]

@@ -134,6 +134,30 @@ def decode_vkitti_scene_flow(bgr_u16: np.ndarray) -> np.ndarray:
     return flow * 10.0
 
 
+def disp2pc(disp: np.ndarray, baseline: float, f: float, cx: float,
+            cy: float, flow: Optional[np.ndarray] = None) -> np.ndarray:
+    """Disparity -> camera-space point cloud [H,W,3].
+
+    Single shared implementation of the pinhole back-projection used both by
+    the FT3D offline preprocessing (reference
+    dataset_preprocess/flying_things_3D/utils.py:319-345) and the KITTI flow
+    2015 scene-flow derivation (kitti_flow_dataset.py:64-85). When `flow` is
+    given, pixel coordinates are advected by it before back-projection
+    (the second-frame point cloud of the scene-flow pair).
+    """
+    h, w = disp.shape
+    depth = baseline * f / (disp + 1e-5)
+    xx = np.tile(np.arange(w, dtype=np.float32)[None, :], (h, 1))
+    yy = np.tile(np.arange(h, dtype=np.float32)[:, None], (1, w))
+    if flow is None:
+        x = (xx - cx) * depth / f
+        y = (yy - cy) * depth / f
+    else:
+        x = (xx - cx + flow[..., 0]) * depth / f
+        y = (yy - cy + flow[..., 1]) * depth / f
+    return np.stack([x, y, depth], axis=-1)
+
+
 def decode_ft3d_flow(bgr_u16: np.ndarray):
     """FlyingThings3D packed flow png -> (flow [H,W,2], valid [H,W,1]).
 

@@ -97,11 +97,15 @@ class MixedTaskLoader:
         _END = object()
 
         def worker():
+            # A worker failure must fail the TRAINING LOOP, not silently end
+            # the epoch (else training "finishes" cleanly on a corrupt
+            # sample): enqueue the exception and re-raise in the consumer.
             try:
                 for b in gen():
                     q.put(b)
-            finally:
                 q.put(_END)
+            except BaseException as e:  # noqa: BLE001 — relayed, not handled
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -109,4 +113,6 @@ class MixedTaskLoader:
             item = q.get()
             if item is _END:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

@@ -163,38 +163,77 @@ def build_pipeline(cfg: Config, seed: int = 0) -> StableMTLPipeline:
 
 
 def load_pretrained(path: str, vae_params, unet_params, child_params,
-                    text_dim: int):
-    """Load converted-weight .npz files over the initialized structures."""
-    from .models.torch_convert import flatten_tree
+                    text_dim: int, strict: bool = False):
+    """Load converted-weight .npz files over the initialized structures.
 
-    def load_over(params, npz_path, inflate_conv=False):
+    conv_in inflation is automatic: when the stored conv_in kernel has fewer
+    input channels than the model (raw SD2 is 4-channel, the model is 12 —
+    or 8 in 'avg' mode), it is tiled `expected/stored` times and scaled by
+    1/repeat (reference util/model.py:11-27 repeat=3, :191-194 repeat=2).
+    Any other expected key that is missing or shape-mismatched is a silent
+    parity failure mode, so it is logged loudly (or raised with strict=True).
+    """
+
+    def load_over(params, npz_path, what: str):
         if not os.path.exists(npz_path):
             log.warning("pretrained file missing: %s (keeping init)",
                         npz_path)
             return params
         loaded = dict(np.load(npz_path))
-        flat = flatten_tree(params)
-        out = params
         import flax
         flatmap = flax.traverse_util.flatten_dict(params)
+        problems = []
         for kpath, v in flatmap.items():
             key = "/".join(str(p) for p in kpath)
-            if key in loaded and loaded[key].shape == np.asarray(v).shape:
-                flatmap[kpath] = jnp.asarray(loaded[key])
-            elif key.endswith("conv_in/kernel") and key in loaded:
-                flatmap[kpath] = jnp.asarray(
-                    inflate_conv_in({"kernel": loaded[key],
-                                     "bias": np.zeros(1)})["kernel"]) \
-                    if inflate_conv else flatmap[kpath]
+            want = np.asarray(v).shape
+            if key not in loaded:
+                # task_attn banks don't exist in raw SD2 — they are fresh
+                # additions (reference installs them at surgery time,
+                # util/model.py:102-146), so their absence is expected
+                if "task_attn" not in key:
+                    problems.append(
+                        f"{key}: missing (init kept, shape {want})")
+                continue
+            got = loaded[key]
+            if got.shape == want:
+                flatmap[kpath] = jnp.asarray(got)
+            elif (key.endswith("conv_in/kernel") and got.ndim == 4
+                    and got.shape[:2] == want[:2] and got.shape[3] == want[3]
+                    and want[2] % got.shape[2] == 0):
+                repeat = want[2] // got.shape[2]
+                log.info("%s: inflating conv_in %d->%d input channels "
+                         "(repeat=%d, scale 1/%d)", what, got.shape[2],
+                         want[2], repeat, repeat)
+                flatmap[kpath] = inflate_conv_in(
+                    {"kernel": jnp.asarray(got), "bias": np.zeros(1)},
+                    repeat=repeat)["kernel"]
+            else:
+                problems.append(
+                    f"{key}: shape {got.shape} != expected {want} "
+                    "(init kept)")
+        if problems:
+            msg = f"{what}: {len(problems)} parameter(s) NOT loaded from " \
+                  f"{npz_path}:\n  " + "\n  ".join(problems[:20])
+            if len(problems) > 20:
+                msg += f"\n  ... and {len(problems) - 20} more"
+            if strict:
+                raise ValueError(msg)
+            log.warning(msg)
+        unused = set(loaded) - {"/".join(str(p) for p in k)
+                                for k in flatmap}
+        if unused:
+            log.warning("%s: %d stored array(s) unused (e.g. %s)", what,
+                        len(unused), sorted(unused)[:5])
         return flax.traverse_util.unflatten_dict(flatmap)
 
-    vae_params = load_over(vae_params, os.path.join(path, "vae.npz"))
-    unet_params = load_over(unet_params, os.path.join(path, "unet.npz"))
+    vae_params = load_over(vae_params, os.path.join(path, "vae.npz"), "vae")
+    unet_params = load_over(unet_params, os.path.join(path, "unet.npz"),
+                            "unet")
     if child_params is not None:
         child_npz = os.path.join(path, "unet_child.npz")
         if not os.path.exists(child_npz):
             child_npz = os.path.join(path, "unet.npz")
-        child_params = load_over(child_params, child_npz)
+        child_params = load_over(child_params, child_npz, "unet_child")
     table_path = os.path.join(path, "text_table.npy")
     table = np.load(table_path) if os.path.exists(table_path) else \
         np.zeros((N_TASKS, 5, text_dim), np.float32)

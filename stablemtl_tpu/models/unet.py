@@ -60,14 +60,21 @@ class UNetConfig:
 
     @property
     def num_attn_layers(self) -> int:
-        n_cross_down = sum(1 for i in range(len(self.block_out_channels) - 1))
-        return (self.layers_per_block * 3) + 1 + ((self.layers_per_block + 1) * 3)
+        """Total transformer layers: every down block but the last has
+        layers_per_block, mid has 1, every up block but the first has
+        layers_per_block+1 (16 for the SD2 layout, reference
+        util/model.py:67-84)."""
+        n_attn_blocks = len(self.block_out_channels) - 1
+        return (self.layers_per_block * n_attn_blocks + 1
+                + (self.layers_per_block + 1) * n_attn_blocks)
 
     def task_attn_layer_set(self) -> frozenset:
+        n_down = self.layers_per_block * (len(self.block_out_channels) - 1)
         if self.task_attn_layers == "all":
-            return frozenset(range(16))
+            return frozenset(range(self.num_attn_layers))
         if self.task_attn_layers == "dec":
-            return frozenset(range(7, 16))
+            # decoder-only: everything after the mid layer (index n_down)
+            return frozenset(range(n_down + 1, self.num_attn_layers))
         raise ValueError(self.task_attn_layers)
 
 

@@ -14,6 +14,7 @@ from typing import Optional
 
 import numpy as np
 
+from ..data.io import disp2pc as _disp2pc_shared
 from ..data.io import read_pfm, save_flow_png_ft3d
 
 BASELINE, FOCAL, CX, CY = 1.0, 1050.0, 479.5, 269.5
@@ -23,19 +24,9 @@ MAX_FLOW_PX = 500.0
 def disp2pc(disp: np.ndarray, baseline: float = BASELINE,
             f: float = FOCAL, cx: float = CX, cy: float = CY,
             flow: Optional[np.ndarray] = None) -> np.ndarray:
-    """Disparity -> camera-space point cloud [H,W,3]
-    (utils.py:319-345 / kitti_flow_dataset.py:64-85)."""
-    h, w = disp.shape
-    depth = baseline * f / (disp + 1e-5)
-    xx = np.tile(np.arange(w, dtype=np.float32)[None, :], (h, 1))
-    yy = np.tile(np.arange(h, dtype=np.float32)[:, None], (1, w))
-    if flow is None:
-        x = (xx - cx) * depth / f
-        y = (yy - cy) * depth / f
-    else:
-        x = (xx - cx + flow[..., 0]) * depth / f
-        y = (yy - cy + flow[..., 1]) * depth / f
-    return np.stack([x, y, depth], axis=-1)
+    """FT3D-intrinsics wrapper over the shared back-projection
+    (data.io.disp2pc; utils.py:319-345)."""
+    return _disp2pc_shared(disp, baseline, f, cx, cy, flow=flow)
 
 
 def load_flo(data: bytes) -> np.ndarray:

@@ -39,6 +39,7 @@ class TrainerConfig:
     visualization_period: int = 0          # 0 disables (reference: 2000)
     log_period: int = 50
     loss_ema: float = 0.98                 # per-task EMA smoothing
+    log_grad_norm: bool = False            # grad-norm mean/std scalars
     exit_after_minutes: float = -1.0
     base_seed: int = 0
     output_dir: str = ""
@@ -60,8 +61,9 @@ class StableMTLTrainer:
         self.metric_writer = metric_writer
         self.class_colors = class_colors
 
-        self.train_step = make_train_step(pipeline,
-                                          base_seed=config.base_seed)
+        self.train_step = make_train_step(
+            pipeline, base_seed=config.base_seed,
+            compute_grad_stats=config.log_grad_norm)
         self._eval_step = None
         self.loss_ema: Dict[str, float] = {}
 
@@ -93,6 +95,36 @@ class StableMTLTrainer:
         t_start = time.monotonic()
         step_times = []
 
+        # Metrics are consumed ONE STEP LATE: converting the loss to a python
+        # float blocks on the device, so fetching step N's scalars while step
+        # N+1 is already dispatched keeps host EMA bookkeeping off the
+        # critical path (the reference pays a .item() sync every step,
+        # stablemtl_trainer.py:352-390).
+        pending = None  # (step, eff, task, metrics, elapsed)
+
+        def consume(p):
+            p_step, p_eff, p_task, p_metrics, p_dt = p
+            loss = float(p_metrics["loss"])
+            prev = self.loss_ema.get(p_task, loss)
+            self.loss_ema[p_task] = (cfg.loss_ema * prev
+                                     + (1 - cfg.loss_ema) * loss)
+            if float(p_metrics.get("nan_pred", 0)):
+                log.warning("model_pred contains NaN at step %d", p_step)
+            if p_step % cfg.log_period == 0 or p_step == max_micro:
+                step_times.append(p_dt)
+                scalars = {"loss": loss,
+                           f"loss/{p_task}": self.loss_ema[p_task],
+                           "step_time_s": p_dt}
+                if "grad_norm_mean" in p_metrics:
+                    scalars["grad_norm/mean"] = float(
+                        p_metrics["grad_norm_mean"])
+                    scalars["grad_norm/std"] = float(
+                        p_metrics["grad_norm_std"])
+                if self.metric_writer:
+                    self.metric_writer(p_step, scalars)
+                log.info("step %d (eff %d) task=%s loss=%.5f", p_step, p_eff,
+                         p_task, loss)
+
         for batch in self.loader.batches(start_step=start_step,
                                          max_steps=max_micro - start_step):
             task = TASKS[int(batch["task_idx"])]
@@ -101,23 +133,14 @@ class StableMTLTrainer:
                 "task_idx")}
             t0 = time.monotonic()
             self.state, metrics = self.train_step(self.state, device_batch)
-            step = int(self.state.step)
+            # host-side step counter: int(self.state.step) would block on
+            # the device every iteration (the jitted step increments by 1)
+            step = int(batch["step"]) + 1
             eff = step // cfg.gradient_accumulation_steps
 
-            if step % cfg.log_period == 0 or step == max_micro:
-                loss = float(metrics["loss"])
-                step_times.append(time.monotonic() - t0)
-                prev = self.loss_ema.get(task, loss)
-                self.loss_ema[task] = (cfg.loss_ema * prev
-                                       + (1 - cfg.loss_ema) * loss)
-                if float(metrics.get("nan_pred", 0)):
-                    log.warning("model_pred contains NaN at step %d", step)
-                scalars = {"loss": loss, f"loss/{task}": self.loss_ema[task],
-                           "step_time_s": step_times[-1]}
-                if self.metric_writer:
-                    self.metric_writer(step, scalars)
-                log.info("step %d (eff %d) task=%s loss=%.5f", step, eff,
-                         task, loss)
+            if pending is not None:
+                consume(pending)
+            pending = (step, eff, task, metrics, time.monotonic() - t0)
 
             at_effective = step % cfg.gradient_accumulation_steps == 0
             if at_effective and self.ckpt is not None:
@@ -158,6 +181,8 @@ class StableMTLTrainer:
                                    meta={"effective_iter": eff,
                                          "interrupted": True})
                 break
+        if pending is not None:
+            consume(pending)
         return self.state
 
     # -- validation ------------------------------------------------------

@@ -331,3 +331,35 @@ def test_get_pred_name_modes():
                          DepthFileNameMode.i_d_rgb) == "i_d_1_pred.png"
     assert get_pred_name("rgb_3_7.jpg", DepthFileNameMode.rgb_i_d,
                          suffix=".npy") == "pred_3_7.npy"
+
+
+def test_loader_propagates_worker_exception():
+    class _PoisonDS(_FakeDS):
+        def get(self, idx, rng=None):
+            if idx == 2:
+                raise ValueError("corrupt sample")
+            return super().get(idx, rng)
+
+    loader = MixedTaskLoader([_PoisonDS(4, "depth")], batch_size=2, seed=0,
+                             prefetch=2)
+    with pytest.raises(ValueError, match="corrupt sample"):
+        for _ in loader.batches(max_steps=50):
+            pass
+
+
+def test_output_type_kwarg_honored(vkitti_tree):
+    # config entries carry multi-task lists, e.g. DIODE [depth, normal] or
+    # kitti_flow [optical_flow, scene_flow] (dataset_test.yaml) — the base
+    # class must not swallow them into the scalar class default
+    ds = VirtualKITTIDepthDataset(
+        mode=DatasetMode.EVAL,
+        filename_ls_path=str(vkitti_tree / "depth.txt"),
+        dataset_dir=str(vkitti_tree),
+        output_type=["depth", "normal"])
+    assert ds.output_type == ["depth", "normal"]
+    # scalar default preserved when not given
+    ds2 = VirtualKITTIDepthDataset(
+        mode=DatasetMode.EVAL,
+        filename_ls_path=str(vkitti_tree / "depth.txt"),
+        dataset_dir=str(vkitti_tree))
+    assert ds2.output_type == "depth"

@@ -153,3 +153,43 @@ def test_trainer_visualize_writes_pngs(tmp_path):
     trainer.visualize(str(tmp_path / "vis"), max_samples=1)
     files = os.listdir(tmp_path / "vis")
     assert any(f.endswith("_depth.png") for f in files), files
+
+
+def test_restore_params_only_ignores_optimizer_tree(tmp_path):
+    # a run trained WITH gradient accumulation has a MultiStepsState
+    # opt_state; eval builds accumulation_steps=1 — params-only restore must
+    # still work (advisor finding: cli/eval.py restore mismatch)
+    pipe = _pipeline()
+    train_state = create_train_state(
+        pipe.unet_params,
+        OptimizerConfig(lr=1e-3, use_schedule=False, accumulation_steps=4))
+    loader = MixedTaskLoader([_FakeDS()], batch_size=2, seed=0, prefetch=0)
+    cfg = TrainerConfig(max_iter=1, gradient_accumulation_steps=4,
+                        save_period=10_000, validation_period=10_000,
+                        log_period=1)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    tr = StableMTLTrainer(pipe, train_state, loader, cfg, ckpt=mgr)
+    s = tr.train()
+    mgr.save(s)
+
+    eval_state = create_train_state(
+        _pipeline(1).unet_params,
+        OptimizerConfig(use_schedule=False, accumulation_steps=1))
+    restored = mgr.restore_params_only(eval_state)
+    assert int(restored.step) == int(s.step)
+    for x, y in zip(jax.tree_util.tree_leaves(s.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_per_step_loss_ema_updates_every_step(tmp_path):
+    pipe = _pipeline()
+    state = create_train_state(pipe.unet_params,
+                               OptimizerConfig(lr=1e-3, use_schedule=False))
+    loader = MixedTaskLoader([_FakeDS()], batch_size=2, seed=0, prefetch=0)
+    # log_period larger than max_iter: EMA must still be updated per step
+    cfg = TrainerConfig(max_iter=4, save_period=10_000,
+                        validation_period=10_000, log_period=1000)
+    tr = StableMTLTrainer(pipe, state, loader, cfg)
+    tr.train()
+    assert "depth" in tr.loss_ema and np.isfinite(tr.loss_ema["depth"])

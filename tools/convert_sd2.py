@@ -65,6 +65,13 @@ def main():
     ap.add_argument("--unet_pth", default=None,
                     help="optional reference StableMTL unet .pth to convert "
                          "instead of the SD2 unet")
+    ap.add_argument("--inflate_conv_in", type=int, default=0,
+                    help="pre-inflate the UNet conv_in input channels by "
+                         "this repeat factor (3 for the 12-ch model, 2 for "
+                         "'avg' mode; reference util/model.py:11-27). 0 "
+                         "leaves the stored kernel as-is — "
+                         "factory.load_pretrained also inflates "
+                         "automatically on shape mismatch.")
     args = ap.parse_args()
 
     from stablemtl_tpu.models.torch_convert import (
@@ -83,7 +90,18 @@ def main():
     unet_src = args.unet_pth or _find_weights(
         os.path.join(args.sd2_dir, "unet"))
     unet_sd = _load_torch_state(unet_src)
-    _save_tree({"params": convert_unet_state_dict(unet_sd)},
+    unet_tree = convert_unet_state_dict(unet_sd)
+    if args.inflate_conv_in > 1:
+        from stablemtl_tpu.models.unet import inflate_conv_in
+
+        conv_in = unet_tree["params"]["conv_in"] \
+            if "params" in unet_tree else unet_tree["conv_in"]
+        inflated = inflate_conv_in(
+            {"kernel": conv_in["kernel"], "bias": conv_in["bias"]},
+            repeat=args.inflate_conv_in)
+        conv_in["kernel"] = np.asarray(inflated["kernel"])
+        print(f"inflated conv_in to {conv_in['kernel'].shape}")
+    _save_tree({"params": unet_tree},
                os.path.join(args.out_dir, "unet.npz"))
 
     # text tower -> 7-task embedding table
