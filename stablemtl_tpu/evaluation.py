@@ -166,9 +166,10 @@ class Evaluator:
 
     def evaluate(self, dataset, tasks=None, max_samples: Optional[int] = None,
                  metrics: Optional[dict] = None) -> Dict[str, dict]:
-        tasks = tasks or [dataset.output_type]
+        tasks = tasks or dataset.output_type
         if isinstance(tasks, str):
             tasks = [tasks]
+        tasks = list(tasks)
         metrics = metrics or make_task_metrics()
         for t in tasks:
             m = metrics[t]

@@ -19,9 +19,9 @@ from stablemtl_tpu.models.vae import tiny_vae_config
 from stablemtl_tpu.pipeline import N_TASKS, StableMTLPipeline, jit_infer
 
 
-@pytest.fixture(scope="module")
-def diode_tree(tmp_path_factory):
-    root = tmp_path_factory.mktemp("diode")
+def _make_diode_tree(root):
+    """Synthetic DIODE tree (rgb + depth/mask/normal npy). Shared with
+    test_eval_datasets.py's all-rows Evaluator run."""
     h, w = 32, 32
     rng = np.random.default_rng(0)
     lines = []
@@ -37,9 +37,32 @@ def diode_tree(tmp_path_factory):
         np.save(root / f"scans/{i:05d}_normal.npy", n)
         lines.append(f"scans/{i:05d}.png scans/{i:05d}_depth.npy "
                      f"scans/{i:05d}_depth_mask.npy")
-    with open(root / "val.txt", "w") as f:
-        f.write("\n".join(lines))
+    for name in ("val.txt", "split.txt"):
+        with open(root / name, "w") as f:
+            f.write("\n".join(lines))
     return root
+
+
+def _make_kitti_tree(root):
+    """Synthetic KITTI eigen-test tree (sparse uint16 depth png)."""
+    h, w = 370, 1230
+    rng = np.random.default_rng(0)
+    os.makedirs(root / "img", exist_ok=True)
+    os.makedirs(root / "gt", exist_ok=True)
+    Image.fromarray((rng.random((h, w, 3)) * 255).astype(np.uint8)) \
+        .save(root / "img/0.png")
+    depth = np.zeros((h, w), np.uint16)
+    depth[200:300, 300:900] = (rng.uniform(5, 60, (100, 600)) * 256) \
+        .astype(np.uint16)  # sparse lidar-style
+    cv2.imwrite(str(root / "gt/0.png"), depth)
+    with open(root / "split.txt", "w") as f:
+        f.write("img/0.png gt/0.png\nimg/0.png None\n")
+    return root
+
+
+@pytest.fixture(scope="module")
+def diode_tree(tmp_path_factory):
+    return _make_diode_tree(tmp_path_factory.mktemp("diode"))
 
 
 def _tiny_pipe():
@@ -76,21 +99,9 @@ def test_diode_eval_end_to_end(diode_tree):
 
 
 def test_kitti_eval_crop_and_mask(tmp_path):
-    h, w = 370, 1230
-    rng = np.random.default_rng(0)
-    os.makedirs(tmp_path / "img", exist_ok=True)
-    os.makedirs(tmp_path / "gt", exist_ok=True)
-    Image.fromarray((rng.random((h, w, 3)) * 255).astype(np.uint8)) \
-        .save(tmp_path / "img/0.png")
-    depth = np.zeros((h, w), np.uint16)
-    depth[200:300, 300:900] = (rng.uniform(5, 60, (100, 600)) * 256) \
-        .astype(np.uint16)  # sparse lidar-style
-    cv2.imwrite(str(tmp_path / "gt/0.png"), depth)
-    with open(tmp_path / "list.txt", "w") as f:
-        f.write("img/0.png gt/0.png\nimg/0.png None\n")
-
+    _make_kitti_tree(tmp_path)
     ds = KITTIDataset(mode=DatasetMode.EVAL,
-                      filename_ls_path=str(tmp_path / "list.txt"),
+                      filename_ls_path=str(tmp_path / "split.txt"),
                       dataset_dir=str(tmp_path),
                       kitti_bm_crop=True, valid_mask_crop="eigen")
     assert len(ds) == 1  # 'None' depth line filtered (kitti_dataset.py:32)
