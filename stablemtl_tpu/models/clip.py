@@ -79,7 +79,9 @@ class CLIPTextModel(nn.Module):
         causal = jnp.triu(jnp.full((L, L), -jnp.inf, jnp.float32), k=1)
         head_dim = cfg.hidden_size // cfg.num_heads
 
-        act = nn.gelu if cfg.hidden_act == "gelu" else \
+        # transformers ACT2FN["gelu"] is the exact erf GELU, not tanh approx
+        act = (lambda x: nn.gelu(x, approximate=False)) \
+            if cfg.hidden_act == "gelu" else \
             (lambda x: x * jax.nn.sigmoid(1.702 * x))  # quick_gelu
 
         for i in range(cfg.num_layers):

@@ -151,7 +151,8 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        # exact erf gelu: diffusers GEGLU uses F.gelu (not the tanh approx)
+        return h * nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):
@@ -179,7 +180,7 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -198,11 +199,11 @@ class MLPv2(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden_features, dtype=self.dtype, name="net_0")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         for i in range(self.num_hidden_layers):
             x = nn.Dense(self.hidden_features, dtype=self.dtype,
                          name=f"net_{2 * (i + 1)}")(x)
-            x = nn.gelu(x)
+            x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.out_features, dtype=self.dtype,
                      name=f"net_{2 * (self.num_hidden_layers + 1)}")(x)
         return x

@@ -137,7 +137,7 @@ class TaskAttentionBank(nn.Module):
             b2g = jnp.take(b2, aux_idx, axis=0).astype(self.dtype)
             x = jnp.einsum("tbnc,tcd->tbnd", x, w1g,
                            preferred_element_type=jnp.float32).astype(self.dtype)
-            x = nn.gelu(x + b1g[:, None, None, :])
+            x = nn.gelu(x + b1g[:, None, None, :], approximate=False)
             x = jnp.einsum("tbnc,tcd->tbnd", x, w2g,
                            preferred_element_type=jnp.float32).astype(self.dtype)
             outs[nm] = x + b2g[:, None, None, :]
@@ -156,7 +156,7 @@ class TaskAttentionBank(nn.Module):
             q = jnp.einsum("bnc,cd->bnd", q, wg,
                            preferred_element_type=jnp.float32).astype(self.dtype) + bg
             if li < len(dims) - 2:
-                q = nn.gelu(q)
+                q = nn.gelu(q, approximate=False)
 
         # ---- attention over the task axis (per pixel) ---------------------
         B, N, _ = q.shape
