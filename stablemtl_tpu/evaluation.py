@@ -90,6 +90,33 @@ def postprocess_prediction(task: str, pred3: np.ndarray,
     raise ValueError(task)
 
 
+GT_FIELD = {"depth": "depth_raw_linear", "normal": "normal",
+            "semantic": "semantic_class_id",
+            "optical_flow": "optical_flow_raw", "scene_flow": "scene_flow",
+            "albedo": "albedo", "shading": "shading"}
+
+
+def visualize_gt(task: str, sample: dict,
+                 class_colors: Optional[np.ndarray] = None):
+    """GT raster -> uint8 [H,W,3] visualization in the same colormap family
+    as the prediction (for side-by-side panels; reference writes `_gt`
+    images next to predictions, stablemtl_trainer.py:744-752)."""
+    from .predict import _visualize
+
+    gt = sample.get(GT_FIELD[task])
+    if gt is None:
+        return None
+    gt = np.asarray(gt)
+    if task == "semantic":
+        gt = gt[..., 0] if gt.ndim == 3 else gt
+    elif task == "depth":
+        gt = gt[..., 0] if gt.ndim == 3 else gt
+        lo, hi = np.percentile(gt[gt > 0], [2, 98]) if (gt > 0).any() \
+            else (0.0, 1.0)
+        gt = np.clip((gt - lo) / max(hi - lo, 1e-6), 0, 1)
+    return _visualize(task, gt, class_colors)
+
+
 def _resize_bilinear(arr: np.ndarray, hw) -> np.ndarray:
     if arr.shape[:2] == tuple(hw):
         return arr

@@ -88,3 +88,44 @@ def process_index(input_dir: str, output_dir: str, split: str, index: int,
         flow_2d_m, flow_mask)
     np.save(os.path.join(output_dir, split, "flow_3d", f"{index:07d}.npy"),
             flow_3d_dense)
+
+
+def main(argv=None):
+    """Batch driver (reference dataset_preprocess/flying_things_3D/
+    preprocess.py:58-90): discovers sample indices from
+    <input_dir>/<split>/flow/left/into_future/*.flo, writes pc/flow_2d/
+    flow_3d per index and a split filename list.
+
+    python -m stablemtl_tpu.preprocess.flyingthings3d \\
+        --input_dir <raw> --output_dir <out> --split train
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--input_dir", required=True)
+    ap.add_argument("--output_dir", required=True)
+    ap.add_argument("--split", default="train")
+    ap.add_argument("--max_depth", type=float, default=35.0)
+    ap.add_argument("--process_id", type=int, default=0)
+    ap.add_argument("--n_processes", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    flow_dir = os.path.join(args.input_dir, args.split, "flow", "left",
+                            "into_future")
+    indices = sorted(int(f.split(".")[0]) for f in os.listdir(flow_dir)
+                     if f.endswith(".flo"))
+    indices = indices[args.process_id::args.n_processes]
+    lines = []
+    for index in indices:
+        process_index(args.input_dir, args.output_dir, args.split, index,
+                      max_depth=args.max_depth)
+        lines.append(f"{args.split}/flow_2d/{index:07d}.png")
+        print(f"processed {args.split}/{index:07d}", flush=True)
+    list_path = os.path.join(args.output_dir, f"{args.split}.txt")
+    with open(list_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {list_path} ({len(lines)} samples)")
+
+
+if __name__ == "__main__":
+    main()

@@ -36,13 +36,20 @@ class TrainerConfig:
     save_period: int = 500                 # train_base_config.yaml:34-36
     backup_period: int = 1000
     validation_period: int = 1000
-    visualization_period: int = 0          # 0 disables (reference: 2000)
+    visualization_period: int = 2000       # reference train_base_config:37
     log_period: int = 50
     loss_ema: float = 0.98                 # per-task EMA smoothing
     log_grad_norm: bool = False            # grad-norm mean/std scalars
     exit_after_minutes: float = -1.0
     base_seed: int = 0
     output_dir: str = ""
+    # model selection: "dataset/task/metric" path into the validate()
+    # results ("" = first dataset / first task / first metric). The
+    # reference carries a vestigial best_metric slot in its checkpoint
+    # (stablemtl_trainer.py:175,1146,1198) but never updates it; here a
+    # `best` checkpoint is actually kept.
+    main_val_metric: str = ""
+    main_val_metric_goal: str = "minimize"  # or "maximize"
 
 
 class StableMTLTrainer:
@@ -66,12 +73,14 @@ class StableMTLTrainer:
             compute_grad_stats=config.log_grad_norm)
         self._eval_step = None
         self.loss_ema: Dict[str, float] = {}
+        self.best_metric: Optional[float] = None
 
     # -- resume ----------------------------------------------------------
 
     def maybe_resume(self) -> int:
         if self.ckpt is not None and self.ckpt.exists():
             self.state = self.ckpt.restore(self.state)
+            self.best_metric = self.ckpt.load_meta().get("best_metric")
             log.info("resumed from checkpoint at step %d",
                      int(self.state.step))
             # interrupted-validation parity (reference in_evaluation flag,
@@ -147,7 +156,8 @@ class StableMTLTrainer:
                 if eff % cfg.save_period == 0:
                     self.ckpt.save(self.state,
                                    meta={"effective_iter": eff,
-                                         "loss_ema": self.loss_ema})
+                                         "loss_ema": self.loss_ema,
+                                         "best_metric": self.best_metric})
                 if eff % cfg.backup_period == 0:
                     self.ckpt.save_backup(self.state)
             if (at_effective and cfg.visualization_period > 0
@@ -162,10 +172,12 @@ class StableMTLTrainer:
                                    meta={"effective_iter": eff,
                                          "in_evaluation": True})
                 results = self.validate()
+                self._update_best(results, eff)
                 if self.ckpt is not None:
                     self.ckpt.save(self.state,
                                    meta={"effective_iter": eff,
-                                         "in_evaluation": False})
+                                         "in_evaluation": False,
+                                         "best_metric": self.best_metric})
                 if self.metric_writer:
                     flat = {f"val/{ds}/{t}/{k}": v
                             for ds, per in results.items()
@@ -198,21 +210,43 @@ class StableMTLTrainer:
 
         return Evaluator(infer_fn=infer, class_colors=self.class_colors)
 
+    def _update_best(self, results: Dict, eff: int) -> None:
+        """Track the main val metric; keep a `best` checkpoint when it
+        improves (model selection — see TrainerConfig.main_val_metric)."""
+        val = _lookup_metric(results, self.cfg.main_val_metric)
+        if val is None:
+            return
+        sign = -1.0 if self.cfg.main_val_metric_goal == "maximize" else 1.0
+        if self.best_metric is None or sign * val < sign * self.best_metric:
+            prev = self.best_metric
+            self.best_metric = float(val)
+            log.info("main val metric improved %s -> %.6f at eff iter %d",
+                     "∅" if prev is None else f"{prev:.6f}", val, eff)
+            if self.ckpt is not None:
+                self.ckpt.save(self.state, name="best",
+                               meta={"effective_iter": eff,
+                                     "best_metric": self.best_metric})
+
     def visualize(self, out_dir: str, max_samples: int = 2) -> None:
-        """Save per-task prediction visualizations for a few val samples
-        (reference visualization_period, trainer:484-518 + visualizer.py)."""
-        from .evaluation import postprocess_prediction
+        """Side-by-side [input | GT | prediction] panels for a few val
+        samples, saved as PNG and (when the metric writer supports images)
+        to TensorBoard (reference visualization_period, trainer:484-518:
+        the reference writes separate pred and `_gt` files)."""
+        from .evaluation import postprocess_prediction, visualize_gt
         from .pipeline import TASK_INDEX
         from .predict import _visualize
         from .utils.visualizer import save_image
 
         ev = self._evaluator()
+        images = {}
         for ds in self.val_datasets:
             tasks = ds.output_type if isinstance(ds.output_type,
                                                  (list, tuple)) \
                 else [ds.output_type]
             for i in range(min(max_samples, len(ds))):
                 sample = ds.get(i, np.random.default_rng(i))
+                rgb_u8 = ((sample["rgb_norm"] + 1) * 127.5) \
+                    .clip(0, 255).astype(np.uint8)
                 for task in tasks:
                     pred3 = np.asarray(ev.infer_fn(
                         sample["rgb_norm"][None],
@@ -220,10 +254,18 @@ class StableMTLTrainer:
                         np.asarray(TASK_INDEX[task], np.int32)))[0]
                     out = postprocess_prediction(task, pred3,
                                                  self.class_colors)
-                    save_image(
-                        _visualize(task, out, self.class_colors),
-                        os.path.join(out_dir,
-                                     f"{ds.disp_name}_{i:03d}_{task}.png"))
+                    panels = [rgb_u8]
+                    gt_vis = visualize_gt(task, sample, self.class_colors)
+                    if gt_vis is not None:
+                        panels.append(gt_vis)
+                    panels.append(_visualize(task, out, self.class_colors))
+                    panel = np.concatenate(panels, axis=1)
+                    images[f"vis/{ds.disp_name}/{task}/{i}"] = panel
+                    save_image(panel, os.path.join(
+                        out_dir, f"{ds.disp_name}_{i:03d}_{task}.png"))
+        writer_images = getattr(self.metric_writer, "write_images", None)
+        if writer_images is not None:
+            writer_images(int(self.state.step), images)
 
     def validate(self, max_samples: Optional[int] = None) -> Dict:
         ev = self._evaluator()
@@ -236,3 +278,30 @@ class StableMTLTrainer:
                 metrics=make_task_metrics())
             log.info("val %s: %s", ds.disp_name, results[ds.disp_name])
         return results
+
+
+def _lookup_metric(results: Dict, spec: str) -> Optional[float]:
+    """Pull one scalar out of {dataset: {task: {metric: value}}}.
+
+    spec "" = first dataset / first task / first metric; otherwise a
+    "dataset/task/metric" path (each segment optional-from-the-left, e.g.
+    "abs_relative_difference" or "depth/abs_relative_difference")."""
+    if not results:
+        return None
+    if not spec:
+        per_task = next(iter(results.values()))
+        if not per_task:
+            return None
+        metrics = next(iter(per_task.values()))
+        return float(next(iter(metrics.values()))) if metrics else None
+    parts = spec.split("/")
+    metric = parts[-1]
+    for ds_name, per_task in results.items():
+        if len(parts) >= 3 and ds_name != parts[-3]:
+            continue
+        for task, metrics in per_task.items():
+            if len(parts) >= 2 and task != parts[-2]:
+                continue
+            if metric in metrics:
+                return float(metrics[metric])
+    return None

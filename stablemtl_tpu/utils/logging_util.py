@@ -71,6 +71,18 @@ class TensorBoardWriter:
         except ImportError:
             pass
 
+    def write_images(self, step: int, images: Dict[str, "np.ndarray"]):
+        """images: {tag: uint8 [H,W,3]} -> TB image summaries."""
+        try:
+            import tensorflow as tf
+
+            with self._ensure().as_default():
+                for tag, img in images.items():
+                    tf.summary.image(tag, img[None], step=step)
+                self._writer.flush()
+        except ImportError:
+            pass
+
 
 def eval_dict_to_text(results: Dict[str, Dict[str, Dict[str, float]]]) -> str:
     """{dataset: {task: {metric: value}}} -> aligned text table

@@ -153,6 +153,69 @@ def test_trainer_visualize_writes_pngs(tmp_path):
     trainer.visualize(str(tmp_path / "vis"), max_samples=1)
     files = os.listdir(tmp_path / "vis")
     assert any(f.endswith("_depth.png") for f in files), files
+    # side-by-side panel: [input | GT | pred] -> width is 3x the sample's
+    from PIL import Image
+
+    img = Image.open(tmp_path / "vis" / sorted(files)[0])
+    ds = _FakeDS(n=2)
+    assert img.size == (3 * ds.w, ds.h)
+
+
+def test_best_metric_tracking_and_best_checkpoint(tmp_path):
+    from stablemtl_tpu.trainer import _lookup_metric
+
+    results = {"dsA": {"depth": {"abs_relative_difference": 0.5,
+                                 "delta1_acc": 0.9}},
+               "dsB": {"normal": {"mean_angular_error": 20.0}}}
+    assert _lookup_metric(results, "") == 0.5
+    assert _lookup_metric(results, "delta1_acc") == 0.9
+    assert _lookup_metric(results, "normal/mean_angular_error") == 20.0
+    assert _lookup_metric(results, "dsB/normal/mean_angular_error") == 20.0
+    assert _lookup_metric(results, "nope") is None
+
+    pipe = _pipeline()
+    state = create_train_state(pipe.unet_params,
+                               OptimizerConfig(use_schedule=False))
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    trainer = StableMTLTrainer(
+        pipe, state, loader=None,
+        config=TrainerConfig(main_val_metric="abs_relative_difference"),
+        ckpt=ckpt, val_datasets=[_FakeDS(n=2)])
+
+    trainer._update_best({"d": {"depth": {"abs_relative_difference": 0.4}}},
+                         eff=10)
+    assert trainer.best_metric == 0.4
+    assert ckpt.exists("best")
+    assert ckpt.load_meta("best")["best_metric"] == 0.4
+
+    # worse value does not overwrite
+    trainer._update_best({"d": {"depth": {"abs_relative_difference": 0.6}}},
+                         eff=20)
+    assert trainer.best_metric == 0.4
+    assert ckpt.load_meta("best")["effective_iter"] == 10
+
+    # better value does; best_metric survives save/resume via meta
+    trainer._update_best({"d": {"depth": {"abs_relative_difference": 0.3}}},
+                         eff=30)
+    assert ckpt.load_meta("best")["best_metric"] == 0.3
+    ckpt.save(trainer.state, meta={"best_metric": trainer.best_metric})
+    fresh = StableMTLTrainer(
+        pipe, create_train_state(pipe.unet_params,
+                                 OptimizerConfig(use_schedule=False)),
+        loader=None, config=TrainerConfig(), ckpt=ckpt)
+    fresh.maybe_resume()
+    assert fresh.best_metric == 0.3
+
+    # maximize goal flips the comparison
+    tmax = StableMTLTrainer(
+        pipe, state, loader=None,
+        config=TrainerConfig(main_val_metric="delta1_acc",
+                             main_val_metric_goal="maximize"))
+    tmax._update_best({"d": {"depth": {"delta1_acc": 0.5}}}, eff=1)
+    tmax._update_best({"d": {"depth": {"delta1_acc": 0.4}}}, eff=2)
+    assert tmax.best_metric == 0.5
+    tmax._update_best({"d": {"depth": {"delta1_acc": 0.7}}}, eff=3)
+    assert tmax.best_metric == 0.7
 
 
 def test_restore_params_only_ignores_optimizer_tree(tmp_path):
