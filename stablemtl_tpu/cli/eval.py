@@ -32,6 +32,9 @@ def main(argv=None):
     parser.add_argument("--save_predictions", action="store_true",
                         help="save per-sample prediction visualizations")
     parser.add_argument("--seed", type=int, default=2024)
+    parser.add_argument("--eval_batch_size", type=int, default=4,
+                        help="device batch for eval inference (metrics are "
+                             "still per-sample)")
     args = parser.parse_args(argv)
 
     from ..checkpoint import CheckpointManager
@@ -91,10 +94,10 @@ def main(argv=None):
         log.info("restored checkpoint params at step %d", int(state.step))
 
     datasets = build_val_datasets(cfg, args.base_data_dir, args.split)
-    trainer = StableMTLTrainer(pipeline, state, loader=None,
-                               config=TrainerConfig(),
-                               val_datasets=datasets,
-                               class_colors=class_colors())
+    trainer = StableMTLTrainer(
+        pipeline, state, loader=None,
+        config=TrainerConfig(eval_batch_size=args.eval_batch_size),
+        val_datasets=datasets, class_colors=class_colors())
     results = trainer.validate(max_samples=args.max_samples)
     if args.save_predictions:
         trainer.visualize(os.path.join(args.output_dir, "predictions"),

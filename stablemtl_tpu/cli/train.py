@@ -94,6 +94,7 @@ def main(argv=None):
                                 per_step, seed=int(cfg["dataloader"]
                                                    .get("seed", seed)))
     val_datasets = build_val_datasets(cfg, args.base_data_dir, "val")
+    vis_datasets = build_val_datasets(cfg, args.base_data_dir, "vis")
 
     tcfg_src = cfg.get("trainer", {})
     tcfg = TrainerConfig(
@@ -102,9 +103,12 @@ def main(argv=None):
         save_period=int(tcfg_src.get("save_period", 500)),
         backup_period=int(tcfg_src.get("backup_period", 1000)),
         validation_period=int(tcfg_src.get("validation_period", 1000)),
-        visualization_period=int(tcfg_src.get("visualization_period", 0)),
+        visualization_period=int(tcfg_src.get("visualization_period", 2000)),
         log_period=int(tcfg_src.get("log_period", 50)),
         log_grad_norm=bool(tcfg_src.get("log_grad_norm", False)),
+        main_val_metric=str(tcfg_src.get("main_val_metric", "")),
+        main_val_metric_goal=str(tcfg_src.get("main_val_metric_goal",
+                                              "minimize")),
         exit_after_minutes=args.exit_after,
         base_seed=seed,
         output_dir=args.output_dir,
@@ -114,8 +118,8 @@ def main(argv=None):
 
     trainer = StableMTLTrainer(
         pipeline, state, loader, tcfg, ckpt=ckpt,
-        val_datasets=val_datasets, metric_writer=writer,
-        class_colors=class_colors())
+        val_datasets=val_datasets, vis_datasets=vis_datasets,
+        metric_writer=writer, class_colors=class_colors())
     if not args.no_resume:
         trainer.maybe_resume()
     trainer.train()

@@ -183,13 +183,25 @@ def _chw(x: np.ndarray) -> np.ndarray:
 class Evaluator:
     """Runs a dataset through an infer fn and aggregates per-task metrics.
 
-    infer_fn(rgb_norm [1,H,W,3], rgb_next_norm, task_idx) -> [1,H,W,3]
+    infer_fn(rgb_norm [B,H,W,3], rgb_next_norm, task_idx) -> [B,H,W,3]
     decoded clipped prediction (the jitted pipeline.infer).
+
+    Throughput (vs the reference's batch-1, one-full-pipeline-per-task eval,
+    stablemtl_trainer.py:580-660):
+    - samples of equal geometry are batched `batch_size` at a time (the
+      tail chunk is padded to the same shape, so each geometry compiles
+      exactly one executable);
+    - with `infer_tasks_fn` set, multi-task datasets (DIODE depth+normal,
+      KITTI flow 2015, MID) share the VAE encode + child taps across tasks
+      in a single device call (pipeline.infer_tasks).
     """
 
     infer_fn: Callable
     class_colors: Optional[np.ndarray] = None
     align_max_res: Optional[int] = None
+    batch_size: int = 1
+    # (rgb [B,H,W,3], rgb_next, task_indices [K]) -> [K,B,H,W,3]
+    infer_tasks_fn: Optional[Callable] = None
 
     def evaluate(self, dataset, tasks=None, max_samples: Optional[int] = None,
                  metrics: Optional[dict] = None) -> Dict[str, dict]:
@@ -203,17 +215,44 @@ class Evaluator:
             m.reset()
         n = len(dataset) if max_samples is None else min(len(dataset),
                                                          max_samples)
-        for i in range(n):
-            sample = dataset.get(i, np.random.default_rng(i))
-            rgb = sample["rgb_norm"][None]
-            rgb_next = sample["rgb_next_norm"][None]
-            for task in tasks:
-                pred3 = np.asarray(self.infer_fn(
-                    rgb, rgb_next, np.asarray(TASK_INDEX[task], np.int32)))[0]
-                pred = postprocess_prediction(task, pred3, self.class_colors)
-                evaluate_sample(
-                    task, pred, sample, metrics[task],
-                    min_depth=dataset.min_depth or 1e-5,
-                    max_depth=dataset.max_depth or 80.0,
-                    align_max_res=self.align_max_res)
+        for chunk in self._chunks(dataset, n):
+            samples = chunk
+            B = len(samples)
+            pad = max(self.batch_size - B, 0) if B < self.batch_size else 0
+            rgb = np.stack([s["rgb_norm"] for s in samples]
+                           + [samples[-1]["rgb_norm"]] * pad)
+            rgb_next = np.stack([s["rgb_next_norm"] for s in samples]
+                                + [samples[-1]["rgb_next_norm"]] * pad)
+            per_task = self._infer(rgb, rgb_next, tasks)
+            for j, sample in enumerate(samples):
+                for task in tasks:
+                    pred = postprocess_prediction(
+                        task, per_task[task][j], self.class_colors)
+                    evaluate_sample(
+                        task, pred, sample, metrics[task],
+                        min_depth=dataset.min_depth or 1e-5,
+                        max_depth=dataset.max_depth or 80.0,
+                        align_max_res=self.align_max_res)
         return {t: metrics[t].result() for t in tasks}
+
+    def _infer(self, rgb, rgb_next, tasks) -> Dict[str, np.ndarray]:
+        if self.infer_tasks_fn is not None and len(tasks) > 1:
+            idx = np.asarray([TASK_INDEX[t] for t in tasks], np.int32)
+            preds = np.asarray(self.infer_tasks_fn(rgb, rgb_next, idx))
+            return {t: preds[k] for k, t in enumerate(tasks)}
+        return {t: np.asarray(self.infer_fn(
+            rgb, rgb_next, np.asarray(TASK_INDEX[t], np.int32)))
+            for t in tasks}
+
+    def _chunks(self, dataset, n: int):
+        """Greedy batches of consecutive same-geometry samples."""
+        buf = []
+        for i in range(n):
+            s = dataset.get(i, np.random.default_rng(i))
+            if buf and (s["rgb_norm"].shape != buf[-1]["rgb_norm"].shape
+                        or len(buf) >= self.batch_size):
+                yield buf
+                buf = []
+            buf.append(s)
+        if buf:
+            yield buf

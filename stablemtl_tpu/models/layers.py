@@ -125,6 +125,41 @@ def nearest_upsample_2x(x: jax.Array) -> jax.Array:
     return x.reshape(B, H * 2, W * 2, C)
 
 
+class UpsampleConv(nn.Module):
+    """The 3x3 conv applied after nearest upsampling, with the standard-2x
+    path computed via the exact phase decomposition (4/9 the FLOPs and no
+    4x-inflated reads; ops/phase_upsample.py, exactness proven in
+    tests/test_phase_upsample.py). Param names match nn.Conv
+    ({kernel, bias}) so converted torch weights load unchanged."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, output_size: Optional[tuple] = None):
+        from ..ops.phase_upsample import upsample2x_conv3x3
+
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if output_size is None or tuple(output_size) == (2 * x.shape[1],
+                                                         2 * x.shape[2]):
+            return upsample2x_conv3x3(x.astype(self.dtype),
+                                      kernel.astype(self.dtype),
+                                      bias.astype(self.dtype))
+        # irregular geometry (odd skip sizes): literal resize + conv
+        x = jax.image.resize(
+            x, (x.shape[0], output_size[0], output_size[1], cin),
+            method="nearest").astype(self.dtype)
+        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=dn)
+        return y + bias.astype(self.dtype)
+
+
 class Upsample(nn.Module):
     """Nearest 2x + 3x3 conv (reference Upsample3D, resnet.py:21-73)."""
 
@@ -133,14 +168,8 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x, output_size: Optional[tuple] = None):
-        if output_size is None:
-            x = nearest_upsample_2x(x)
-        else:
-            x = jax.image.resize(
-                x, (x.shape[0], output_size[0], output_size[1], x.shape[-1]),
-                method="nearest")
-        return nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
-                       dtype=self.dtype, name="conv")(x)
+        return UpsampleConv(self.channels, dtype=self.dtype,
+                            name="conv")(x, output_size)
 
 
 class GEGLU(nn.Module):

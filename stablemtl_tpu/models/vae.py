@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import ResnetBlock, nearest_upsample_2x
+from .layers import ResnetBlock, UpsampleConv
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,10 +137,10 @@ class Decoder(nn.Module):
                                 groups=cfg.norm_groups, eps=1e-6, dtype=dtype,
                                 name=f"up_blocks_{i}_resnets_{j}")(h)
             if i < len(rev_ch) - 1:
-                h = nearest_upsample_2x(h)
-                h = nn.Conv(rev_ch[i], (3, 3), padding=((1, 1), (1, 1)),
-                            dtype=dtype,
-                            name=f"up_blocks_{i}_upsamplers_0_conv")(h)
+                # exact phase-decomposed nearest-2x + conv (4/9 the FLOPs;
+                # ops/phase_upsample.py) — param names unchanged
+                h = UpsampleConv(rev_ch[i], dtype=dtype,
+                                 name=f"up_blocks_{i}_upsamplers_0_conv")(h)
 
         h = nn.GroupNorm(cfg.norm_groups, epsilon=1e-6, dtype=jnp.float32,
                          name="conv_norm_out")(h)

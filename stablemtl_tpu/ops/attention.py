@@ -44,10 +44,13 @@ def dot_product_attention(q, k, v, bias=None, use_flash: bool | None = None):
     """
     seq_q = q.shape[1]
     if use_flash is None:
+        import os
+
         use_flash = (
             seq_q >= FLASH_MIN_SEQ
             and q.shape[1] == k.shape[1]
             and jax.default_backend() == "tpu"
+            and not os.environ.get("STABLEMTL_DISABLE_FLASH")
         )
     if use_flash:
         from .flash_attention import flash_attention

@@ -300,13 +300,20 @@ class StableMTLPipeline:
 
     # ---- inference ----------------------------------------------------
 
-    def infer_all_tasks(self, rgb_norm, rgb_next_norm, rng=None, params=None):
-        """Fused multi-task inference: one input -> predictions for all tasks.
+    def infer_tasks(self, rgb_norm, rgb_next_norm, task_indices, rng=None,
+                    params=None):
+        """Fused multi-task inference for a subset of tasks.
 
-        Returns [n_tasks, B, H, W, 3] decoded (clipped) maps in canonical
-        task order. Child taps are computed once and shared; the 7 main
-        streams run under vmap (one compiled graph, MXU-sized batches).
+        task_indices: [K] int array. Returns [K, B, H, W, 3] decoded
+        (clipped) maps in task_indices order. The VAE encode and the child
+        taps are computed ONCE and shared; only the K main streams and K
+        decodes run per requested task — a 2-task eval dataset (DIODE
+        depth+normal, KITTI flow+scene-flow, MID albedo+shading) pays the
+        expensive shared work once instead of per task (the reference
+        re-runs the full pipeline per output_type,
+        stablemtl_trainer.py:650-660).
         """
+        task_indices = jnp.asarray(task_indices, jnp.int32)
         lat, lat_next = self.encode_rgb_pair(rgb_norm, rgb_next_norm)
         B = lat.shape[0]
         taps_all = self.child_taps_all_tasks(lat, lat_next, rng)
@@ -328,10 +335,17 @@ class StableMTLPipeline:
                 pred, _ = self.unet.apply(uparams, x, t, text, train=False)
             return pred
 
-        preds = jax.vmap(one_task)(jnp.arange(N_TASKS))  # [T, B, h, w, 4]
+        preds = jax.vmap(one_task)(task_indices)  # [K, B, h, w, 4]
         imgs = self.decode_latent(preds.reshape((-1,) + preds.shape[2:]))
-        imgs = imgs.reshape((N_TASKS, B) + imgs.shape[1:])
+        imgs = imgs.reshape((task_indices.shape[0], B) + imgs.shape[1:])
         return jnp.clip(imgs, -1.0, 1.0)
+
+    def infer_all_tasks(self, rgb_norm, rgb_next_norm, rng=None, params=None):
+        """Fused multi-task inference: one input -> predictions for ALL
+        tasks, [n_tasks, B, H, W, 3] in canonical task order (child taps
+        computed once; 7 main streams vmapped through the MXU)."""
+        return self.infer_tasks(rgb_norm, rgb_next_norm,
+                                jnp.arange(N_TASKS), rng=rng, params=params)
 
 
     def unet_forward(self, lat, lat_next, task_idx, rng=None, params=None,
@@ -412,6 +426,25 @@ def jit_infer_all_tasks(pipe: StableMTLPipeline):
 
     def wrapped(rgb, rgb_next):
         return fn(bundle, rgb, rgb_next)
+
+    wrapped.jitted = fn
+    wrapped.bundle = bundle
+    return wrapped
+
+
+def jit_infer_tasks(pipe: StableMTLPipeline):
+    """Jitted subset multi-task inference: (rgb, rgb_next, task_indices[K])
+    -> [K, B, H, W, 3]. One executable per (K, geometry); the indices are
+    data, so different task subsets of the same size reuse the compile."""
+    bundle = _params_bundle(pipe)
+
+    @jax.jit
+    def fn(b, rgb, rgb_next, task_indices):
+        return _rebind(pipe, b).infer_tasks(rgb, rgb_next, task_indices)
+
+    def wrapped(rgb, rgb_next, task_indices):
+        return fn(bundle, rgb, rgb_next, jnp.asarray(task_indices,
+                                                     jnp.int32))
 
     wrapped.jitted = fn
     wrapped.bundle = bundle

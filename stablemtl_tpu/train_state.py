@@ -230,3 +230,26 @@ def make_eval_step(pipeline: StableMTLPipeline) -> Callable:
 
     step.jitted = jitted
     return step
+
+
+def make_eval_tasks_step(pipeline: StableMTLPipeline) -> Callable:
+    """Jitted subset multi-task inference with live params:
+    (params, rgb, rgb_next, task_indices[K]) -> [K, B, H, W, 3]
+    (shared VAE encode + child taps across the K tasks)."""
+    frozen_in = frozen_params_of(pipeline)
+
+    def eval_step(params, frozen, rgb, rgb_next, task_indices):
+        pipe = dataclasses.replace(_bind_frozen(pipeline, frozen),
+                                   unet_params=params)
+        return pipe.infer_tasks(rgb, rgb_next, task_indices)
+
+    jitted = jax.jit(eval_step)
+
+    def step(params, rgb, rgb_next, task_indices):
+        import jax.numpy as jnp
+
+        return jitted(params, frozen_in, rgb, rgb_next,
+                      jnp.asarray(task_indices, jnp.int32))
+
+    step.jitted = jitted
+    return step

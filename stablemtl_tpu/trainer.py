@@ -24,7 +24,8 @@ import numpy as np
 from .checkpoint import CheckpointManager
 from .evaluation import Evaluator, make_task_metrics
 from .pipeline import StableMTLPipeline, TASKS
-from .train_state import TrainState, make_eval_step, make_train_step
+from .train_state import (TrainState, make_eval_step, make_eval_tasks_step,
+                          make_train_step)
 
 log = logging.getLogger(__name__)
 
@@ -50,6 +51,9 @@ class TrainerConfig:
     # `best` checkpoint is actually kept.
     main_val_metric: str = ""
     main_val_metric_goal: str = "minimize"  # or "maximize"
+    # device batch for eval inference (metrics stay per-sample on host);
+    # the reference asserts batch_size 1 (stablemtl_trainer.py:641)
+    eval_batch_size: int = 4
 
 
 class StableMTLTrainer:
@@ -58,13 +62,17 @@ class StableMTLTrainer:
                  ckpt: Optional[CheckpointManager] = None,
                  val_datasets: Sequence = (),
                  metric_writer: Optional[Callable[[int, Dict], None]] = None,
-                 class_colors: Optional[np.ndarray] = None):
+                 class_colors: Optional[np.ndarray] = None,
+                 vis_datasets: Sequence = ()):
         self.pipeline = pipeline
         self.state = state
         self.loader = loader
         self.cfg = config
         self.ckpt = ckpt
         self.val_datasets = list(val_datasets)
+        # dedicated visualization subsets (reference vis_loaders,
+        # dataset_vis.yaml); falls back to the val sets
+        self.vis_datasets = list(vis_datasets) or self.val_datasets
         self.metric_writer = metric_writer
         self.class_colors = class_colors
 
@@ -161,7 +169,7 @@ class StableMTLTrainer:
                 if eff % cfg.backup_period == 0:
                     self.ckpt.save_backup(self.state)
             if (at_effective and cfg.visualization_period > 0
-                    and self.val_datasets and cfg.output_dir
+                    and self.vis_datasets and cfg.output_dir
                     and eff % cfg.visualization_period == 0):
                 self.visualize(os.path.join(cfg.output_dir, "vis",
                                             f"iter_{eff:06d}"))
@@ -202,13 +210,20 @@ class StableMTLTrainer:
     def _evaluator(self) -> Evaluator:
         if self._eval_step is None:
             self._eval_step = make_eval_step(self.pipeline)
+            self._eval_tasks_step = make_eval_tasks_step(self.pipeline)
 
         def infer(rgb, rgb_next, task_idx):
             return self._eval_step(self.state.params, {
                 "rgb_norm": rgb, "rgb_next_norm": rgb_next,
                 "task_idx": task_idx})
 
-        return Evaluator(infer_fn=infer, class_colors=self.class_colors)
+        def infer_tasks(rgb, rgb_next, task_indices):
+            return self._eval_tasks_step(self.state.params, rgb, rgb_next,
+                                         task_indices)
+
+        return Evaluator(infer_fn=infer, infer_tasks_fn=infer_tasks,
+                         batch_size=max(1, self.cfg.eval_batch_size),
+                         class_colors=self.class_colors)
 
     def _update_best(self, results: Dict, eff: int) -> None:
         """Track the main val metric; keep a `best` checkpoint when it
@@ -239,7 +254,7 @@ class StableMTLTrainer:
 
         ev = self._evaluator()
         images = {}
-        for ds in self.val_datasets:
+        for ds in self.vis_datasets:
             tasks = ds.output_type if isinstance(ds.output_type,
                                                  (list, tuple)) \
                 else [ds.output_type]

@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Component-level TPU benchmark: VAE decode / child UNet / main streams.
+
+Prints one JSON line per component with ms/unit and achieved TFLOPS so
+BENCH_NOTES.md's ablation table can be updated after kernel changes
+(round-2 target: decode, 44% of round-1 inference).
+
+Timing uses the chained-fori_loop + scalar-fetch slope methodology from
+bench.py (the axon tunnel executes asynchronously; block_until_ready does
+not reliably synchronize).
+
+Usage: python tools/bench_breakdown.py [decode] [decode_noattn] [child]
+       [full] [encode]   (default: decode decode_noattn full)
+Env: STABLEMTL_BENCH_RES (512), STABLEMTL_BENCH_BATCH (4), _ITERS (8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+from stablemtl_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed_slope(fn, iters):
+    """per-iteration seconds via the two-chain-length slope."""
+    def run(n):
+        t0 = time.perf_counter()
+        float(fn(n))
+        return time.perf_counter() - t0
+
+    run(1)  # compile + warmup
+    t1, t2 = run(2), run(2 + iters)
+    return max((t2 - t1) / iters, 1e-9)
+
+
+def chain_over(f, x0, extra=()):
+    """Build chain(n): n serialized applications of f via data dependency."""
+    @jax.jit
+    def chain(n, x0, *extra):
+        def body(_, carry):
+            x, acc = carry
+            out = f(x, *extra)
+            s = out.mean().astype(jnp.float32)
+            return x + (s * 1e-12).astype(x.dtype), acc + s
+
+        _, acc = jax.lax.fori_loop(0, n, body, (x0, jnp.float32(0)))
+        return acc
+
+    return lambda n: chain(n, x0, *extra)
+
+
+def main():
+    parts = sys.argv[1:] or ["decode", "decode_noattn", "full"]
+    res = int(os.environ.get("STABLEMTL_BENCH_RES", "512"))
+    batch = int(os.environ.get("STABLEMTL_BENCH_BATCH", "4"))
+    iters = int(os.environ.get("STABLEMTL_BENCH_ITERS", "8"))
+    on_tpu = jax.default_backend() not in ("cpu",)
+    dtype = "bfloat16" if on_tpu else "float32"
+
+    from __graft_entry__ import _build_pipeline
+    from stablemtl_tpu.pipeline import N_TASKS, _params_bundle, _rebind
+
+    preset = os.environ.get("STABLEMTL_BENCH_PRESET",
+                            "full" if on_tpu else "tiny")
+    pipe = _build_pipeline(preset, multi_stream=True, image_hw=(res, res),
+                           dtype=dtype)
+    if dtype == "bfloat16":
+        def cast(p):
+            return p.astype(jnp.bfloat16) if p.ndim >= 2 else p
+        pipe.unet_params = jax.tree_util.tree_map(cast, pipe.unet_params)
+        pipe.unet_child_params = jax.tree_util.tree_map(
+            cast, pipe.unet_child_params)
+        pipe.vae_params = jax.tree_util.tree_map(cast, pipe.vae_params)
+
+    lat_hw = res // 8
+    r = np.random.RandomState(0)
+    results = {}
+
+    def report(name, per_iter_s, units_per_iter, tflop_per_unit=None):
+        ms = per_iter_s * 1000 / units_per_iter
+        rec = {"component": name, "ms_per_unit": round(ms, 3),
+               "units_per_iter": units_per_iter}
+        if tflop_per_unit:
+            rec["achieved_tflops"] = round(tflop_per_unit / (ms / 1000), 1)
+        results[name] = rec
+        print(json.dumps(rec), flush=True)
+
+    # decode: 7 tasks x batch images per iteration (matches bench.py's
+    # inference mix)
+    n_dec = N_TASKS * batch
+    lat = jnp.asarray(r.uniform(-1, 1, (n_dec, lat_hw, lat_hw, 4)),
+                      jnp.float32) * 0.18215
+
+    if "decode" in parts:
+        f = chain_over(lambda x: pipe.decode_latent(x.astype(jnp.float32)),
+                       lat)
+        per = timed_slope(f, iters)
+        # SD2 VAE decoder ~2.5 TFLOP per 512x512 image (conv tally in
+        # BENCH_NOTES.md)
+        report("vae_decode", per, n_dec,
+               tflop_per_unit=2.5 * (res / 512) ** 2)
+
+    if "decode_noattn" in parts:
+        from stablemtl_tpu.models import vae as vae_mod
+
+        orig = vae_mod.VAEAttention.__call__
+        vae_mod.VAEAttention.__call__ = lambda self, x: x
+        try:
+            # fresh pipeline: the attention-free VAE has its own (random)
+            # param tree — weights don't matter for timing
+            pipe2 = _build_pipeline(preset, multi_stream=False,
+                                    image_hw=(res, res), dtype=dtype)
+            if dtype == "bfloat16":
+                pipe2.vae_params = jax.tree_util.tree_map(
+                    lambda p: p.astype(jnp.bfloat16) if p.ndim >= 2 else p,
+                    pipe2.vae_params)
+            f = chain_over(
+                lambda x: pipe2.decode_latent(x.astype(jnp.float32)), lat)
+            per = timed_slope(f, iters)
+            report("vae_decode_noattn", per, n_dec)
+        finally:
+            vae_mod.VAEAttention.__call__ = orig
+
+    if "encode" in parts:
+        img = jnp.asarray(r.uniform(-1, 1, (2 * batch, res, res, 3)),
+                          jnp.float32)
+        f = chain_over(
+            lambda x: pipe.vae.apply(pipe.vae_params, x,
+                                     method=type(pipe.vae).encode), img)
+        per = timed_slope(f, iters)
+        report("vae_encode", per, 2 * batch)
+
+    if "child" in parts:
+        lat1 = jnp.asarray(r.uniform(-1, 1, (batch, lat_hw, lat_hw, 4)),
+                           jnp.float32)
+
+        def child_feats(x):
+            taps = pipe.child_taps_all_tasks(x, x, None)
+            return sum(t.mean() for t in taps) + x.mean()
+
+        f = chain_over(lambda x: child_feats(x), lat1)
+        per = timed_slope(f, iters)
+        report("child_taps_all_tasks", per, N_TASKS * batch)
+
+    if "full" in parts:
+        rgb = jnp.asarray(r.uniform(-1, 1, (batch, res, res, 3)),
+                          jnp.float32)
+        bundle = _params_bundle(pipe)
+
+        @jax.jit
+        def chain(n, rgb):
+            p = _rebind(pipe, bundle)
+
+            def body(_, carry):
+                x, acc = carry
+                out = p.infer_all_tasks(x, x)
+                return x + out[0].astype(x.dtype) * 1e-8, acc + out.mean()
+
+            _, acc = jax.lax.fori_loop(0, n, body, (rgb, jnp.float32(0)))
+            return acc
+
+        per = timed_slope(lambda n: chain(n, rgb), iters)
+        report("full_multitask_infer", per, batch)
+        print(json.dumps({
+            "metric": f"multitask_images_per_sec_{res}x{res}",
+            "value": round(batch / per, 4)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

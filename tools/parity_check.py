@@ -33,14 +33,106 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def fixture_parity():
+    """No checkpoints in the environment: prove the CONVERSION path
+    numerically against independent PyTorch implementations (torch.nn
+    twins + the actual transformers CLIP) and print max-abs diffs as JSON.
+    The same probes run in CI (tests/test_activation_parity.py)."""
+    import json
+    import sys as _sys
+
+    # numerical conversion check: run on CPU f32 (the TPU backend defaults
+    # f32 matmuls to bf16 precision, which would drown the signal)
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    import tests.test_activation_parity as tap
+    import numpy as _np
+    import torch
+    import jax.numpy as _jnp
+
+    out = {}
+
+    torch.manual_seed(0)
+    tm = tap._TorchResnet(16, 32, temb_dim=24, groups=8).eval()
+    from stablemtl_tpu.models.torch_convert import convert_unet_state_dict
+    params = convert_unet_state_dict(
+        tap._np_state_dict(tm, "down_blocks.0.resnets.0."))[
+        "down_blocks_0_resnets_0"]
+    x, temb = torch.randn(2, 16, 8, 8), torch.randn(2, 24)
+    with torch.no_grad():
+        want = tm(x, temb).numpy()
+    from stablemtl_tpu.models.layers import ResnetBlock
+    got = ResnetBlock(out_channels=32, groups=8, eps=1e-5).apply(
+        {"params": params}, _jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        _jnp.asarray(temb.numpy()))
+    out["resnet_block_max_abs_diff"] = float(
+        _np.abs(_np.transpose(got, (0, 3, 1, 2)) - want).max())
+
+    torch.manual_seed(1)
+    tt = tap._TorchTransformer2D(32, 24, 2).eval()
+    params = convert_unet_state_dict(
+        tap._np_state_dict(tt, "down_blocks.0.attentions.0."))[
+        "down_blocks_0_attentions_0"]
+    x, ctx = torch.randn(2, 32, 6, 6), torch.randn(2, 5, 24)
+    with torch.no_grad():
+        want = tt(x, ctx).numpy()
+    from stablemtl_tpu.models.transformer import Transformer2D
+    got, _ = Transformer2D(heads=2, dim_head=16).apply(
+        {"params": params}, _jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        _jnp.asarray(ctx.numpy()))
+    out["transformer2d_max_abs_diff"] = float(
+        _np.abs(_np.transpose(got, (0, 3, 1, 2)) - want).max())
+
+    try:
+        import transformers as hf
+
+        torch.manual_seed(2)
+        tc = hf.CLIPTextModel(hf.CLIPTextConfig(
+            vocab_size=99, hidden_size=32, intermediate_size=64,
+            num_attention_heads=2, num_hidden_layers=2,
+            max_position_embeddings=77, hidden_act="gelu")).eval()
+        from stablemtl_tpu.models.clip import CLIPTextConfig, CLIPTextModel
+        from stablemtl_tpu.models.torch_convert import (
+            convert_clip_text_state_dict)
+        params = convert_clip_text_state_dict(tap._np_state_dict(tc))
+        ids = torch.randint(0, 99, (2, 8))
+        with torch.no_grad():
+            want = tc(input_ids=ids).last_hidden_state.numpy()
+        got = CLIPTextModel(CLIPTextConfig(
+            vocab_size=99, hidden_size=32, intermediate_size=64,
+            num_heads=2, num_layers=2, max_position_embeddings=77,
+            hidden_act="gelu")).apply({"params": params},
+                                      _jnp.asarray(ids.numpy()))
+        out["clip_text_vs_transformers_max_abs_diff"] = float(
+            _np.abs(_np.asarray(got) - want).max())
+    except ImportError:
+        out["clip_text_vs_transformers_max_abs_diff"] = None
+
+    out["pass"] = all(v is None or v < 1e-4 for v in out.values())
+    print(json.dumps(out, indent=2))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--weights", required=True,
+    ap.add_argument("--weights", default=None,
                     help="converted weight dir (tools/convert_sd2.py output)")
     ap.add_argument("--image", default=None,
                     help="fixture image (default: deterministic gradient)")
     ap.add_argument("--multi_stream", action="store_true")
+    ap.add_argument("--fixture", action="store_true",
+                    help="run the torch-twin activation-parity probes "
+                         "(no checkpoints needed) and print diff numbers")
     args = ap.parse_args()
+
+    if args.fixture or not args.weights:
+        fixture_parity()
+        if not args.weights:
+            return
 
     import jax.numpy as jnp
 
