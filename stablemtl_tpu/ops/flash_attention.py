@@ -273,6 +273,127 @@ def _flash_bwd(res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+# ---------------------------------------------------------------------------
+# K/V-streaming forward: 3D grid (bh, q-block, k-block), online-softmax
+# state carried in VMEM scratch across the innermost (sequential) k axis.
+# Nothing seq-sized is resident, so shapes whose full K/V exceed VMEM —
+# the single-head d=512 VAE mid attention at seq 4096 — run in Pallas
+# instead of falling back to XLA's materialized [S,S] softmax.
+# ---------------------------------------------------------------------------
+
+def _fa_stream_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
+                      acc_scr, *, nk: int, scale: float):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32) * scale          # [Bq, D]
+    k = k_ref[0].astype(jnp.float32)                  # [Bk, D]
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [Bq, Bk]
+    m_prev = m_scr[:, 0]
+    l_prev = l_scr[:, 0]
+    m_cur = jnp.maximum(m_prev, s.max(axis=-1))
+    alpha = jnp.exp(m_prev - m_cur)
+    p = jnp.exp(s - m_cur[:, None])
+    l_cur = l_prev * alpha + p.sum(axis=-1)
+    acc_scr[...] = acc_scr[...] * alpha[:, None] + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[...] = jnp.broadcast_to(m_cur[:, None], m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_cur[:, None], l_scr.shape)
+
+    @pl.when(j == nk - 1)
+    def _flush():
+        o_ref[0] = (acc_scr[...] / l_scr[:, 0][:, None]).astype(o_ref.dtype)
+        lse = m_scr[:, 0] + jnp.log(l_scr[:, 0])
+        lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
+
+
+STREAM_BLOCK_Q = 256
+STREAM_BLOCK_K = 512
+
+
+def _flash_stream_forward(q, k, v):
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    block_q = _pick_block(sq, STREAM_BLOCK_Q)
+    block_k = _pick_block(sk, STREAM_BLOCK_K)
+    qf, kf, vf = _fold(q), _fold(k), _fold(v)
+    scale = float(d) ** -0.5
+    nk = sk // block_k
+
+    out, lse = pl.pallas_call(
+        functools.partial(_fa_stream_kernel, nk=nk, scale=scale),
+        grid=(b * h, sq // block_q, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, LANE), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq, LANE), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANE), jnp.float32),   # running max
+            pltpu.VMEM((block_q, LANE), jnp.float32),   # running denom
+            pltpu.VMEM((block_q, d), jnp.float32),      # accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * sk * d,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+    )(qf, kf, vf)
+    return _unfold(out, b, h), lse
+
+
+@jax.custom_vjp
+def _flash_stream(q, k, v):
+    return _flash_stream_forward(q, k, v)[0]
+
+
+def _flash_stream_fwd(q, k, v):
+    out, _ = _flash_stream_forward(q, k, v)
+    return out, (q, k, v)
+
+
+def _flash_stream_bwd(res, g):
+    # streamed shapes (frozen VAE attention) never need gradients in
+    # training; correctness fallback = differentiate the XLA reference
+    q, k, v = res
+    _, vjp = jax.vjp(_xla_reference, q, k, v)
+    return vjp(g)
+
+
+_flash_stream.defvjp(_flash_stream_fwd, _flash_stream_bwd)
+
+
+def _stream_vmem_bytes(sq: int, sk: int, d: int, itemsize: int) -> int:
+    bq = _pick_block(sq, STREAM_BLOCK_Q)
+    bk = _pick_block(sk, STREAM_BLOCK_K)
+    blocks = (bq * d + 2 * bk * d) * itemsize * 2   # q + k + v, dbl-buffered
+    scratch = bq * d * 4 + 2 * bq * LANE * 4
+    return blocks + scratch + bq * d * itemsize + bq * bk * 4
+
+
 # VMEM budget for the kernel's working set. The full K and V for one
 # (batch*head) live in VMEM and are double-buffered by the pipeline; leave
 # headroom under the 16 MB scoped limit.
@@ -288,15 +409,20 @@ def _vmem_bytes(sq: int, sk: int, d: int, itemsize: int) -> int:
 
 
 def flash_attention(q, k, v, bias=None):
-    """Fused attention [B,S,H,D] -> [B,Sq,H,D]; XLA fallback when the shape
-    has no aligned tiling, a bias is present, or the working set exceeds
-    the VMEM budget (e.g. single-head d=512 VAE attention at long seq)."""
-    sq, sk, d = q.shape[1], k.shape[1], q.shape[-1]
-    if (bias is not None or d % 8 != 0 or _pick_block(sq) == 0
-            or _pick_block(sk) == 0
-            or _vmem_bytes(sq, sk, d, q.dtype.itemsize)
-            > VMEM_BUDGET_BYTES):
-        from .attention import _xla_attention
+    """Fused attention [B,S,H,D] -> [B,Sq,H,D].
 
-        return _xla_attention(q, k, v, bias=bias)
-    return _flash(q, k, v)
+    Dispatch: resident-K/V kernel (fastest, Pallas fwd+bwd) when the
+    working set fits VMEM; otherwise the K/V-streaming forward kernel
+    (e.g. single-head d=512 VAE attention at seq 4096); XLA fallback only
+    when a bias is present or no block-aligned tiling exists."""
+    sq, sk, d = q.shape[1], k.shape[1], q.shape[-1]
+    aligned = (d % 8 == 0 and _pick_block(sq) > 0 and _pick_block(sk) > 0)
+    if bias is None and aligned:
+        if _vmem_bytes(sq, sk, d, q.dtype.itemsize) <= VMEM_BUDGET_BYTES:
+            return _flash(q, k, v)
+        if _stream_vmem_bytes(sq, sk, d,
+                              q.dtype.itemsize) <= VMEM_BUDGET_BYTES:
+            return _flash_stream(q, k, v)
+    from .attention import _xla_attention
+
+    return _xla_attention(q, k, v, bias=bias)

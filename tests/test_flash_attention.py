@@ -112,3 +112,50 @@ def test_flash_backward_cross_attention_shapes():
     assert gq.shape == q.shape and gk.shape == k.shape and gv.shape == v.shape
     for g in (gq, gk, gv):
         assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_flash_stream_forward_matches_xla():
+    """K/V-streaming kernel (3D grid, scratch carry) vs XLA reference —
+    the d=512 single-head VAE-attention shape class."""
+    k = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(k[0], (2, 1024, 1, 128), jnp.float32)
+    kk = jax.random.normal(k[1], (2, 1024, 1, 128), jnp.float32)
+    v = jax.random.normal(k[2], (2, 1024, 1, 128), jnp.float32)
+    from stablemtl_tpu.ops.flash_attention import _flash_stream_forward
+
+    with pltpu.force_tpu_interpret_mode():
+        out, lse = _flash_stream_forward(q, kk, v)
+    want = _xla_attention(q, kk, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+    # lse sane: logsumexp of scaled logits, finite
+    assert np.isfinite(np.asarray(lse)).all()
+
+
+def test_flash_stream_gradient_fallback():
+    """The streamed kernel's custom VJP (XLA recompute) is numerically the
+    XLA attention gradient."""
+    from stablemtl_tpu.ops.flash_attention import _flash_stream
+
+    k = jax.random.split(jax.random.PRNGKey(6), 3)
+    q = jax.random.normal(k[0], (1, 64, 1, 16), jnp.float32)
+    kk = jax.random.normal(k[1], (1, 64, 1, 16), jnp.float32)
+    v = jax.random.normal(k[2], (1, 64, 1, 16), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_fast = jax.grad(lambda a: (_flash_stream(a, kk, v) ** 2).sum())(q)
+    g_ref = jax.grad(lambda a: (_xla_attention(a, kk, v) ** 2).sum())(q)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               atol=1e-4)
+
+
+def test_dispatch_streams_large_head_dim():
+    """d=512 seq-4096 exceeds the resident-K/V VMEM budget but fits the
+    streaming kernel's."""
+    from stablemtl_tpu.ops.flash_attention import (
+        VMEM_BUDGET_BYTES,
+        _stream_vmem_bytes,
+        _vmem_bytes,
+    )
+
+    assert _vmem_bytes(4096, 4096, 512, 2) > VMEM_BUDGET_BYTES
+    assert _stream_vmem_bytes(4096, 4096, 512, 2) < VMEM_BUDGET_BYTES

@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""512x512 TRAINING-step benchmark with the Pallas flash kernel on/off.
+
+VERDICT round-1 item 8: the flash fwd+bwd kernels were only measured in a
+microbenchmark; this times the full jitted multi-stream training step at
+512x512 (self-attention seq 4096 inside fwd+bwd) with the kernel enabled
+vs the XLA fallback (STABLEMTL_DISABLE_FLASH), single chip.
+
+Single-chip 512x512 training needs adafactor + remat + bf16 (HBM notes in
+CLAUDE.md / BENCH_NOTES.md). Timing: train steps serialize through the
+state dependency; fetch the final loss scalar and take the slope between
+two run lengths.
+
+Env: STABLEMTL_BENCH_BATCH (default 1), STABLEMTL_BENCH_ITERS (default 4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+from stablemtl_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(res: int, dtype: str):
+    from stablemtl_tpu.models import AutoencoderKL, UNet2DConditionModel
+    from stablemtl_tpu.models.unet import UNetConfig, tiny_unet_config
+    from stablemtl_tpu.models.vae import VAEConfig, tiny_vae_config
+    from stablemtl_tpu.pipeline import N_TASKS, StableMTLPipeline
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu:
+        ucfg = UNetConfig(use_task_attention=True, attn_mask_ratio=0.4,
+                          dtype=dtype, remat=True)
+        ccfg = UNetConfig(dtype=dtype)
+        vcfg = VAEConfig(dtype=dtype)
+        text_dim = 1024
+    else:
+        ucfg = tiny_unet_config(use_task_attention=True, dtype=dtype,
+                                remat=True)
+        ccfg = tiny_unet_config(dtype=dtype)
+        vcfg = tiny_vae_config(dtype=dtype)
+        text_dim = ucfg.cross_attention_dim
+
+    lh = lw = res // 8
+    k = jax.random.split(jax.random.PRNGKey(0), 5)
+    vae = AutoencoderKL(vcfg)
+    vae_params = jax.jit(vae.init)(k[0], jnp.zeros((1, res, res, 3)))
+    text = jnp.zeros((1, 5, text_dim))
+    child = UNet2DConditionModel(ccfg)
+    child_params = jax.jit(
+        lambda r, x, t, c: child.init(r, x, t, c,
+                                      tap="afterSelfAttn_residual")
+    )(k[1], jnp.zeros((1, lh, lw, 12)), jnp.zeros((1,), jnp.int32), text)
+    _, taps = child.apply(child_params, jnp.zeros((1, lh, lw, 12)),
+                          jnp.zeros((1,), jnp.int32), text,
+                          tap="afterSelfAttn_residual")
+    feats = [jnp.zeros((N_TASKS - 1,) + t.shape) for t in taps]
+    unet = UNet2DConditionModel(ucfg)
+    unet_params = jax.jit(
+        lambda r, x, t, c: unet.init(r, x, t, c, task_feats=feats,
+                                     main_idx=jnp.asarray(0),
+                                     aux_idx=jnp.arange(1, N_TASKS))
+    )(k[2], jnp.zeros((1, lh, lw, 12)), jnp.zeros((1,), jnp.int32), text)
+
+    if dtype == "bfloat16":
+        def cast(p):
+            return p.astype(jnp.bfloat16) if p.ndim >= 2 else p
+        vae_params = jax.tree_util.tree_map(cast, vae_params)
+        child_params = jax.tree_util.tree_map(cast, child_params)
+
+    table = jax.random.normal(k[3], (N_TASKS, 5, text_dim)) * 0.02
+    return StableMTLPipeline(
+        vae=vae, unet=unet, vae_params=vae_params, unet_params=unet_params,
+        text_embed_table=table, unet_child=child,
+        unet_child_params=child_params)
+
+
+def time_variant(pipe, batch, iters):
+    from stablemtl_tpu.train_state import (OptimizerConfig,
+                                           create_train_state,
+                                           make_train_step)
+
+    state = create_train_state(
+        pipe.unet_params,
+        OptimizerConfig(name="adafactor", use_schedule=False))
+    step = make_train_step(pipe, donate=False)
+
+    def run(n):
+        s = state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s, metrics = step(s, batch)
+        loss = float(metrics["loss"])
+        return time.perf_counter() - t0, loss
+
+    run(1)  # compile + warmup
+    (t1, _), (t2, loss) = run(1), run(1 + iters)
+    per = max((t2 - t1) / iters, 1e-9)
+    return per, loss
+
+
+def main():
+    on_tpu = jax.default_backend() not in ("cpu",)
+    res = int(os.environ.get("STABLEMTL_BENCH_RES", "512" if on_tpu
+                             else "32"))
+    B = int(os.environ.get("STABLEMTL_BENCH_BATCH", "1"))
+    iters = int(os.environ.get("STABLEMTL_BENCH_ITERS", "4"))
+    dtype = "bfloat16" if on_tpu else "float32"
+
+    r = np.random.RandomState(0)
+    rgb = r.uniform(-1, 1, (B, res, res, 3)).astype(np.float32)
+    batch = {"rgb_norm": rgb, "rgb_next_norm": rgb,
+             "target_3ch": r.uniform(-1, 1, (B, res, res, 3))
+             .astype(np.float32),
+             "valid_mask": np.ones((B, res, res, 1), bool),
+             "task_idx": np.asarray(3, np.int32)}
+
+    pipe = build(res, dtype)
+    out = {}
+    for name, disable in (("flash", ""), ("xla", "1")):
+        os.environ["STABLEMTL_DISABLE_FLASH"] = disable
+        per, loss = time_variant(pipe, batch, iters)
+        out[name] = per
+        print(json.dumps({
+            "variant": f"train_step_{res}x{res}_b{B}_{name}",
+            "s_per_step": round(per, 4),
+            "train_imgs_per_sec": round(B / per, 3),
+            "loss": round(loss, 5)}), flush=True)
+    if "flash" in out and "xla" in out:
+        print(json.dumps({"flash_speedup_vs_xla":
+                          round(out["xla"] / out["flash"], 3)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
