@@ -98,8 +98,43 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     return tx
 
 
+class Optimizer:
+    """GradientTransformation wrapper whose equality/hash is the
+    OptimizerConfig it was built from, not object identity.
+
+    TrainState.tx is static pytree METADATA (flax.struct.field
+    pytree_node=False), and jit compares metadata by `==` when matching a
+    call against a cached executable's in_shardings. Raw optax objects
+    compare by identity, so a state restored into a fresh template (same
+    config, different MultiSteps instance) would spuriously fail the
+    pytree-structure check (seen in dryrun_multichip's post-restore step).
+    Two optimizers from equal configs do the same math — compare as equal.
+    """
+
+    def __init__(self, tx: optax.GradientTransformation,
+                 key: "OptimizerConfig"):
+        self._tx = tx
+        self.key = key
+
+    def init(self, params):
+        return self._tx.init(params)
+
+    def update(self, grads, state, params=None):
+        return self._tx.update(grads, state, params)
+
+    def __eq__(self, other):
+        return isinstance(other, Optimizer) and self.key == other.key
+
+    def __hash__(self):
+        return hash(self.key)
+
+    def __repr__(self):
+        return f"Optimizer({self.key.optimizer}, accum="\
+               f"{self.key.accumulation_steps})"
+
+
 def create_train_state(unet_params, cfg: OptimizerConfig) -> TrainState:
-    tx = make_optimizer(cfg)
+    tx = Optimizer(make_optimizer(cfg), cfg)
     return TrainState(step=jnp.asarray(0, jnp.int32), params=unet_params,
                       opt_state=tx.init(unet_params), tx=tx)
 

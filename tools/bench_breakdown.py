@@ -7,7 +7,8 @@ BENCH_NOTES.md's ablation table can be updated after kernel changes
 
 Timing uses the chained-fori_loop + scalar-fetch slope methodology from
 bench.py (the axon tunnel executes asynchronously; block_until_ready does
-not reliably synchronize).
+not reliably synchronize). All parameters are passed as jit ARGUMENTS —
+closing over them would bake GBs of weights into the HLO as constants.
 
 Usage: python tools/bench_breakdown.py [decode] [decode_noattn] [child]
        [full] [encode]   (default: decode decode_noattn full)
@@ -48,20 +49,20 @@ def timed_slope(fn, iters):
     return max((t2 - t1) / iters, 1e-9)
 
 
-def chain_over(f, x0, extra=()):
-    """Build chain(n): n serialized applications of f via data dependency."""
+def make_chain(f):
+    """chain(n, x0, params): n serialized applications of f(x, params)."""
     @jax.jit
-    def chain(n, x0, *extra):
+    def chain(n, x0, params):
         def body(_, carry):
             x, acc = carry
-            out = f(x, *extra)
+            out = f(x, params)
             s = out.mean().astype(jnp.float32)
             return x + (s * 1e-12).astype(x.dtype), acc + s
 
         _, acc = jax.lax.fori_loop(0, n, body, (x0, jnp.float32(0)))
         return acc
 
-    return lambda n: chain(n, x0, *extra)
+    return chain
 
 
 def main():
@@ -70,6 +71,8 @@ def main():
     batch = int(os.environ.get("STABLEMTL_BENCH_BATCH", "4"))
     iters = int(os.environ.get("STABLEMTL_BENCH_ITERS", "8"))
     on_tpu = jax.default_backend() not in ("cpu",)
+    if not on_tpu:
+        res = int(os.environ.get("STABLEMTL_BENCH_RES", "64"))
     dtype = "bfloat16" if on_tpu else "float32"
 
     from __graft_entry__ import _build_pipeline
@@ -89,7 +92,6 @@ def main():
 
     lat_hw = res // 8
     r = np.random.RandomState(0)
-    results = {}
 
     def report(name, per_iter_s, units_per_iter, tflop_per_unit=None):
         ms = per_iter_s * 1000 / units_per_iter
@@ -97,23 +99,23 @@ def main():
                "units_per_iter": units_per_iter}
         if tflop_per_unit:
             rec["achieved_tflops"] = round(tflop_per_unit / (ms / 1000), 1)
-        results[name] = rec
         print(json.dumps(rec), flush=True)
 
-    # decode: 7 tasks x batch images per iteration (matches bench.py's
-    # inference mix)
+    # decode: 7 tasks x batch images per iteration (bench.py's mix)
     n_dec = N_TASKS * batch
     lat = jnp.asarray(r.uniform(-1, 1, (n_dec, lat_hw, lat_hw, 4)),
                       jnp.float32) * 0.18215
+    vae_cls = type(pipe.vae)
 
     if "decode" in parts:
-        f = chain_over(lambda x: pipe.decode_latent(x.astype(jnp.float32)),
-                       lat)
-        per = timed_slope(f, iters)
-        # SD2 VAE decoder ~2.5 TFLOP per 512x512 image (conv tally in
-        # BENCH_NOTES.md)
+        vae = pipe.vae
+        chain = make_chain(lambda x, p: vae.apply(
+            p, x.astype(jnp.float32), method=vae_cls.decode))
+        per = timed_slope(lambda n: chain(n, lat, pipe.vae_params), iters)
+        # SD2 VAE decoder ~2.5 TFLOP per 512x512 image (conv tally)
         report("vae_decode", per, n_dec,
-               tflop_per_unit=2.5 * (res / 512) ** 2)
+               tflop_per_unit=2.5 * (res / 512) ** 2 if preset == "full"
+               else None)
 
     if "decode_noattn" in parts:
         from stablemtl_tpu.models import vae as vae_mod
@@ -121,17 +123,17 @@ def main():
         orig = vae_mod.VAEAttention.__call__
         vae_mod.VAEAttention.__call__ = lambda self, x: x
         try:
-            # fresh pipeline: the attention-free VAE has its own (random)
-            # param tree — weights don't matter for timing
             pipe2 = _build_pipeline(preset, multi_stream=False,
                                     image_hw=(res, res), dtype=dtype)
+            p2 = pipe2.vae_params
             if dtype == "bfloat16":
-                pipe2.vae_params = jax.tree_util.tree_map(
+                p2 = jax.tree_util.tree_map(
                     lambda p: p.astype(jnp.bfloat16) if p.ndim >= 2 else p,
-                    pipe2.vae_params)
-            f = chain_over(
-                lambda x: pipe2.decode_latent(x.astype(jnp.float32)), lat)
-            per = timed_slope(f, iters)
+                    p2)
+            vae2 = pipe2.vae
+            chain = make_chain(lambda x, p: vae2.apply(
+                p, x.astype(jnp.float32), method=vae_cls.decode))
+            per = timed_slope(lambda n: chain(n, lat, p2), iters)
             report("vae_decode_noattn", per, n_dec)
         finally:
             vae_mod.VAEAttention.__call__ = orig
@@ -139,22 +141,23 @@ def main():
     if "encode" in parts:
         img = jnp.asarray(r.uniform(-1, 1, (2 * batch, res, res, 3)),
                           jnp.float32)
-        f = chain_over(
-            lambda x: pipe.vae.apply(pipe.vae_params, x,
-                                     method=type(pipe.vae).encode), img)
-        per = timed_slope(f, iters)
+        vae = pipe.vae
+        chain = make_chain(lambda x, p: vae.apply(
+            p, x, method=vae_cls.encode))
+        per = timed_slope(lambda n: chain(n, img, pipe.vae_params), iters)
         report("vae_encode", per, 2 * batch)
 
     if "child" in parts:
         lat1 = jnp.asarray(r.uniform(-1, 1, (batch, lat_hw, lat_hw, 4)),
                            jnp.float32)
+        bundle = _params_bundle(pipe)
 
-        def child_feats(x):
-            taps = pipe.child_taps_all_tasks(x, x, None)
+        def child_feats(x, b):
+            taps = _rebind(pipe, b).child_taps_all_tasks(x, x, None)
             return sum(t.mean() for t in taps) + x.mean()
 
-        f = chain_over(lambda x: child_feats(x), lat1)
-        per = timed_slope(f, iters)
+        chain = make_chain(child_feats)
+        per = timed_slope(lambda n: chain(n, lat1, bundle), iters)
         report("child_taps_all_tasks", per, N_TASKS * batch)
 
     if "full" in parts:
@@ -163,8 +166,8 @@ def main():
         bundle = _params_bundle(pipe)
 
         @jax.jit
-        def chain(n, rgb):
-            p = _rebind(pipe, bundle)
+        def chain(n, rgb, b):
+            p = _rebind(pipe, b)
 
             def body(_, carry):
                 x, acc = carry
@@ -174,7 +177,7 @@ def main():
             _, acc = jax.lax.fori_loop(0, n, body, (rgb, jnp.float32(0)))
             return acc
 
-        per = timed_slope(lambda n: chain(n, rgb), iters)
+        per = timed_slope(lambda n: chain(n, rgb, bundle), iters)
         report("full_multitask_infer", per, batch)
         print(json.dumps({
             "metric": f"multitask_images_per_sec_{res}x{res}",
