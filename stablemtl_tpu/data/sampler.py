@@ -45,6 +45,10 @@ class MixedTaskSchedule:
             for n in self.lengths]
         self.n_total_batch = sum(self.n_batches)
         if prob is None:
+            if self.n_total_batch == 0:
+                raise ValueError(
+                    f"no dataset yields a full batch of {batch_size} "
+                    f"(lengths {self.lengths}, drop_last={drop_last})")
             prob = [n / self.n_total_batch for n in self.n_batches]
         self.prob = np.asarray(prob, np.float64)
 
@@ -102,6 +106,11 @@ class MixedTaskSchedule:
         ds_idx = self._draw(self.step)
         if not self._queues[ds_idx]:
             self._refill(ds_idx)
+        if not self._queues[ds_idx]:
+            raise ValueError(
+                f"dataset {ds_idx} has {self.lengths[ds_idx]} samples — "
+                f"fewer than one batch of {self.batch_size} with "
+                f"drop_last; cannot produce a full batch")
         batch = self._queues[ds_idx].pop()
         self.step += 1
         return ds_idx, batch

@@ -285,7 +285,11 @@ def accumulation_steps_of(cfg: Config, n_devices: int) -> Tuple[int, int]:
     dl = cfg["dataloader"]
     eff = int(dl.get("effective_batch_size", 32))
     max_bs = int(dl.get("max_train_batch_size", 4))
-    per_step = min(max_bs, eff // max(n_devices, 1)) * n_devices
+    n = max(n_devices, 1)
+    # at least one sample per device (an effective batch smaller than the
+    # device count cannot shard thinner than 1/device)
+    per_dev = max(1, min(max_bs, eff // n))
+    per_step = per_dev * n
     accum = max(1, eff // per_step)
     return accum, per_step
 

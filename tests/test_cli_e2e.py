@@ -1,0 +1,125 @@
+"""End-to-end CLI drive: train 3 effective iters on a synthetic vkitti
+depth tree (tiny scratch model), auto-checkpoint, then run the eval CLI on
+the produced checkpoint (reference workflow train_stablemtl.py ->
+eval_mtl.py)."""
+
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    h, w = 32, 48
+    rng = np.random.default_rng(0)
+    base = root / "vkitti/Scene01/clone/frames"
+    os.makedirs(base / "depth/Camera_0", exist_ok=True)
+    os.makedirs(base / "rgb/Camera_0", exist_ok=True)
+    lines = []
+    # >= 8 samples: with 8 virtual devices the per-step batch is at least 8
+    for i in range(8):
+        rgb = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        for fid in (i, i + 1):
+            Image.fromarray(rgb).save(
+                base / f"rgb/Camera_0/rgb_{fid:05d}.jpg")
+        cv2.imwrite(str(base / f"depth/Camera_0/depth_{i:05d}.png"),
+                    rng.uniform(100, 2000, (h, w)).astype(np.uint16))
+        lines.append(
+            f"Scene01/clone/frames/depth/Camera_0/depth_{i:05d}.png")
+    with open(root / "depth_list.txt", "w") as f:
+        f.write("\n".join(lines))
+    return root
+
+
+@pytest.fixture(scope="module")
+def cli_config(data_root, tmp_path_factory):
+    cfg_dir = tmp_path_factory.mktemp("cfg")
+    cfg = cfg_dir / "tiny_e2e.yaml"
+    cfg.write_text(f"""
+base_config:
+- {REPO}/config/train_debug_tiny.yaml
+
+max_iter: 3
+
+dataset:
+  train:
+    name: mixed
+    prob_ls: [1.0]
+    dataset_list:
+    - name: vkitti_depth
+      disp_name: vkitti_depth_train
+      dir: vkitti
+      filenames: {data_root}/depth_list.txt
+      resize_to_hw: [32, 48]
+  val: []
+  vis: []
+  test:
+  - name: vkitti_depth
+    disp_name: vkitti_depth_test
+    dir: vkitti
+    filenames: {data_root}/depth_list.txt
+    resize_to_hw: [32, 48]
+    output_type: [depth]
+""")
+    return cfg
+
+
+def test_train_then_eval_cli(data_root, cli_config, tmp_path):
+    from stablemtl_tpu.cli.eval import main as eval_main
+    from stablemtl_tpu.cli.train import main as train_main
+
+    out = tmp_path / "run"
+    train_main(["--config", str(cli_config),
+                "--base_data_dir", str(data_root),
+                "--output_dir", str(out)])
+    assert (out / "checkpoint/latest").is_dir()
+    meta = json.loads((out / "checkpoint/latest.meta.json").read_text())
+    assert meta.get("finished") is True
+
+    eval_out = tmp_path / "eval"
+    eval_main(["--config", str(cli_config),
+               "--checkpoint", str(out / "checkpoint"),
+               "--base_data_dir", str(data_root),
+               "--split", "test", "--output_dir", str(eval_out),
+               "--max_samples", "2", "--eval_batch_size", "2"])
+    results = json.loads((eval_out / "eval_results.json").read_text())
+    depth = results["vkitti_depth_test"]["depth"]
+    assert np.isfinite(depth["abs_relative_difference"])
+    assert (eval_out / "eval_results.csv").exists()
+    assert (eval_out / "eval_results.txt").exists()
+
+
+def test_train_cli_resume(data_root, cli_config, tmp_path):
+    """Interrupt after 1 iter (exit_after path is time-based; use max_iter),
+    then resume to completion — the step counter continues."""
+    from stablemtl_tpu.cli.train import main as train_main
+
+    out = tmp_path / "run2"
+    train_main(["--config", str(cli_config), "--max_iter", "1",
+                "--base_data_dir", str(data_root),
+                "--output_dir", str(out)])
+    meta1 = json.loads((out / "checkpoint/latest.meta.json").read_text())
+
+    train_main(["--config", str(cli_config), "--max_iter", "2",
+                "--base_data_dir", str(data_root),
+                "--output_dir", str(out)])
+    from stablemtl_tpu.checkpoint import CheckpointManager
+    from stablemtl_tpu.factory import build_pipeline
+    from stablemtl_tpu.config import recursive_load_config
+    from stablemtl_tpu.train_state import (OptimizerConfig,
+                                           create_train_state)
+
+    cfg = recursive_load_config(str(cli_config), root=REPO)
+    pipe = build_pipeline(cfg)
+    state = CheckpointManager(str(out / "checkpoint")).restore_params_only(
+        create_train_state(pipe.unet_params,
+                           OptimizerConfig(use_schedule=False)))
+    assert int(state.step) == 2  # 1 micro-step per effective iter here
+    assert meta1.get("finished") is True

@@ -303,6 +303,17 @@ def test_schedule_deterministic_and_fast_forward():
         assert (ds_idx, batch) == seq[i]
 
 
+def test_schedule_too_small_dataset_raises():
+    # fewer samples than one batch: loud error at construction (prob=None)
+    # and at draw time (explicit prob keeps the dataset selectable)
+    with pytest.raises(ValueError, match="full batch"):
+        MixedTaskSchedule([_FakeDS(2, "depth")], batch_size=4, seed=0)
+    sched = MixedTaskSchedule([_FakeDS(2, "depth")], batch_size=4, seed=0,
+                              prob=[1.0])
+    with pytest.raises(ValueError, match="fewer than one batch"):
+        next(sched)
+
+
 def test_loader_collates_and_packs():
     dss = [_FakeDS(20, "depth"), _FakeDS(20, "optical_flow", channels=2)]
     loader = MixedTaskLoader(dss, batch_size=2, seed=0, prefetch=0)

@@ -123,14 +123,15 @@ def main():
         orig = vae_mod.VAEAttention.__call__
         vae_mod.VAEAttention.__call__ = lambda self, x: x
         try:
-            pipe2 = _build_pipeline(preset, multi_stream=False,
-                                    image_hw=(res, res), dtype=dtype)
-            p2 = pipe2.vae_params
+            # only the VAE is needed; building a full second pipeline OOMs
+            # next to the resident one
+            vae2 = vae_mod.AutoencoderKL(pipe.vae.config)
+            p2 = jax.jit(vae2.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, res, res, 3)))
             if dtype == "bfloat16":
                 p2 = jax.tree_util.tree_map(
                     lambda p: p.astype(jnp.bfloat16) if p.ndim >= 2 else p,
                     p2)
-            vae2 = pipe2.vae
             chain = make_chain(lambda x, p: vae2.apply(
                 p, x.astype(jnp.float32), method=vae_cls.decode))
             per = timed_slope(lambda n: chain(n, lat, p2), iters)
