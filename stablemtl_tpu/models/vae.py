@@ -137,8 +137,8 @@ class Decoder(nn.Module):
                                 groups=cfg.norm_groups, eps=1e-6, dtype=dtype,
                                 name=f"up_blocks_{i}_resnets_{j}")(h)
             if i < len(rev_ch) - 1:
-                # exact phase-decomposed nearest-2x + conv (4/9 the FLOPs;
-                # ops/phase_upsample.py) — param names unchanged
+                # exact nearest-2x + conv as one stride-2 transposed conv
+                # (ops/phase_upsample.py) — param names unchanged
                 h = UpsampleConv(rev_ch[i], dtype=dtype,
                                  name=f"up_blocks_{i}_upsamplers_0_conv")(h)
 
