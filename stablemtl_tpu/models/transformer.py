@@ -82,6 +82,31 @@ def _ln_bank(x, scale, bias, eps=1e-5):
     return (y * scale + bias).astype(x.dtype)
 
 
+def _kv_project(p, feats, idx, nm, dtype):
+    """K or V task projection LN_t -> MLP(C -> C/2 -> C) from raw bank
+    params `p` (a TaskAttentionBank param dict), for tasks `idx` ([T] int
+    or None = all), applied to feats [T, B, N, C]. Pure function so the
+    fused multi-task inference can build the K/V tables ONCE for all
+    tasks outside the per-stream vmap (they depend only on the shared
+    child features, not on the main stream)."""
+    def g(x):
+        return x if idx is None else jnp.take(x, idx, axis=0)
+
+    s = g(p[f"task_norm_{nm}_scale"])[:, None, None, :]
+    b = g(p[f"task_norm_{nm}_bias"])[:, None, None, :]
+    x = _ln_bank(feats, s, b)
+    w1 = g(p[f"task_to_{nm}_fc1_kernel"]).astype(dtype)
+    b1 = g(p[f"task_to_{nm}_fc1_bias"]).astype(dtype)
+    w2 = g(p[f"task_to_{nm}_fc2_kernel"]).astype(dtype)
+    b2 = g(p[f"task_to_{nm}_fc2_bias"]).astype(dtype)
+    x = jnp.einsum("tbnc,tcd->tbnd", x, w1,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    x = nn.gelu(x + b1[:, None, None, :], approximate=False)
+    x = jnp.einsum("tbnc,tcd->tbnd", x, w2,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    return x + b2[:, None, None, :]
+
+
 class TaskAttentionBank(nn.Module):
     """Cross-task attention for one UNet attention layer.
 
@@ -101,12 +126,20 @@ class TaskAttentionBank(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, task_feats, main_idx, aux_idx,
-                 train: bool = False):
+                 train: bool = False, task_kv=None, task_key_bias=None):
         """
         hidden: [B, N, C] main-stream features (after self-attn projection).
-        task_feats: [T_aux, B, N, C] child features per auxiliary task.
+        task_feats: [T_aux, B, N, C] child features per auxiliary task
+            (may be None when task_kv is given).
         main_idx: scalar int — index of the main task in the canonical order.
         aux_idx: [T_aux] int — indices of the auxiliary tasks.
+        task_kv: optional (k_all, v_all) [n_tasks, B, N, C] precomputed over
+            ALL tasks (task_kv_tables). The bank then attends over the FULL
+            task axis with `task_key_bias` ([n_tasks], -inf on excluded
+            tasks) — exactly equal to attending over the gathered aux
+            subset (exp(-1e9)=0 in f32), but the big K/V tensors stay
+            SHARED across the vmapped main streams instead of being
+            re-gathered (or worse, re-projected) per stream.
         Returns [B, N, C] to be added to `hidden`.
         """
         C, T = self.dim, self.n_tasks
@@ -122,25 +155,22 @@ class TaskAttentionBank(nn.Module):
 
         # ---- K/V projectors: LN_t -> MLP(C -> C/2 -> C) per task ----------
         outs = {}
+        if task_kv is not None:
+            outs["k"] = task_kv[0].astype(self.dtype)
+            outs["v"] = task_kv[1].astype(self.dtype)
         for nm in ("k", "v"):
             ln_s = _bank(self, f"task_norm_{nm}_scale", (T, C), ones)
             ln_b = _bank(self, f"task_norm_{nm}_bias", (T, C), zeros)
             w1, b1 = dense_bank(f"task_to_{nm}_fc1", C, Ch)
             w2, b2 = dense_bank(f"task_to_{nm}_fc2", Ch, C)
-
-            s = jnp.take(ln_s, aux_idx, axis=0)[:, None, None, :]
-            b = jnp.take(ln_b, aux_idx, axis=0)[:, None, None, :]
-            x = _ln_bank(task_feats, s, b)
-            w1g = jnp.take(w1, aux_idx, axis=0).astype(self.dtype)
-            b1g = jnp.take(b1, aux_idx, axis=0).astype(self.dtype)
-            w2g = jnp.take(w2, aux_idx, axis=0).astype(self.dtype)
-            b2g = jnp.take(b2, aux_idx, axis=0).astype(self.dtype)
-            x = jnp.einsum("tbnc,tcd->tbnd", x, w1g,
-                           preferred_element_type=jnp.float32).astype(self.dtype)
-            x = nn.gelu(x + b1g[:, None, None, :], approximate=False)
-            x = jnp.einsum("tbnc,tcd->tbnd", x, w2g,
-                           preferred_element_type=jnp.float32).astype(self.dtype)
-            outs[nm] = x + b2g[:, None, None, :]
+            if task_kv is None:
+                p = {f"task_norm_{nm}_scale": ln_s,
+                     f"task_norm_{nm}_bias": ln_b,
+                     f"task_to_{nm}_fc1_kernel": w1,
+                     f"task_to_{nm}_fc1_bias": b1,
+                     f"task_to_{nm}_fc2_kernel": w2,
+                     f"task_to_{nm}_fc2_bias": b2}
+                outs[nm] = _kv_project(p, task_feats, aux_idx, nm, self.dtype)
 
         # ---- Q projector: LN_m -> MLPv2(C -> 640 x3 -> C) for main task ---
         q_ln_s = _bank(self, "task_norm_q_scale", (T, C), ones)
@@ -160,7 +190,7 @@ class TaskAttentionBank(nn.Module):
 
         # ---- attention over the task axis (per pixel) ---------------------
         B, N, _ = q.shape
-        T_aux = task_feats.shape[0]
+        T_aux = outs["k"].shape[0]
         h, d = self.n_attns, C // self.n_attns
         qh = q.reshape(B, N, h, d)
         kh = outs["k"].reshape(T_aux, B, N, h, d)
@@ -169,6 +199,9 @@ class TaskAttentionBank(nn.Module):
         scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
         scores = jnp.einsum("bnhd,tbnhd->bnht", qh, kh,
                             preferred_element_type=jnp.float32) * scale
+
+        if task_key_bias is not None:
+            scores = scores + task_key_bias  # [T] broadcast over b,n,h
 
         bias = self._mask_bias(scores, T_aux, train)
         if bias is not None:
@@ -243,7 +276,8 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, task_feats=None, main_idx=None,
-                 aux_idx=None, tap: Optional[str] = None, train: bool = False):
+                 aux_idx=None, tap: Optional[str] = None, train: bool = False,
+                 task_kv=None, task_key_bias=None):
         tap_feat = None
         if tap == "beforeSelfAttn":
             tap_feat = x
@@ -251,13 +285,15 @@ class BasicTransformerBlock(nn.Module):
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         attn_out = Attention(self.heads, self.dim_head, self.dim,
                              dtype=self.dtype, name="attn1")(h)
-        if self.use_task_attention and task_feats is not None:
+        if self.use_task_attention and (task_feats is not None
+                                        or task_kv is not None):
             attn_out = attn_out + TaskAttentionBank(
                 dim=self.dim, n_tasks=self.n_tasks, n_attns=self.n_attns,
                 attn_mask_ratio=self.attn_mask_ratio,
                 attn_mask_type=self.attn_mask_type,
                 dtype=self.dtype, name="task_attn",
-            )(attn_out, task_feats, main_idx, aux_idx, train=train)
+            )(attn_out, task_feats, main_idx, aux_idx, train=train,
+              task_kv=task_kv, task_key_bias=task_key_bias)
         x = x + attn_out
         if tap == "afterSelfAttn_residual":
             tap_feat = attn_out
@@ -302,7 +338,8 @@ class Transformer2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, task_feats=None, main_idx=None,
-                 aux_idx=None, tap: Optional[str] = None, train: bool = False):
+                 aux_idx=None, tap: Optional[str] = None, train: bool = False,
+                 task_kv=None, task_key_bias=None):
         B, H, W, C = x.shape
         inner = self.heads * self.dim_head
         residual = x
@@ -315,6 +352,7 @@ class Transformer2D(nn.Module):
             n_attns=self.n_attns, attn_mask_ratio=self.attn_mask_ratio,
             attn_mask_type=self.attn_mask_type, dtype=self.dtype,
             name="transformer_blocks_0",
-        )(h, context, task_feats, main_idx, aux_idx, tap=tap, train=train)
+        )(h, context, task_feats, main_idx, aux_idx, tap=tap, train=train,
+          task_kv=task_kv, task_key_bias=task_key_bias)
         h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
         return h.reshape(B, H, W, C) + residual, tap_feat

@@ -108,10 +108,16 @@ class UNet2DConditionModel(nn.Module):
     def __call__(self, sample, timesteps, encoder_hidden_states,
                  task_feats: Optional[Sequence] = None,
                  main_idx=None, aux_idx=None,
-                 tap: Optional[str] = None, train: bool = False):
+                 tap: Optional[str] = None, train: bool = False,
+                 task_kv: Optional[Sequence] = None, task_key_bias=None):
         """
         sample: [B, H, W, C_in]; timesteps: [B] (or scalar); context [B, L, D].
         task_feats: list of 16 arrays [T_aux, B, N_l, C_l] from the child UNet.
+        task_kv: optional list of 16 (k_all, v_all)/None pairs from
+            `task_kv_tables` — precomputed all-task K/V shared by every
+            main stream (fused inference fast path); task_key_bias
+            ([n_tasks], -inf on excluded tasks) masks the key set per
+            stream instead of gathering it.
         Returns (out [B, H, W, C_out], taps: list of 16 arrays or Nones).
         """
         cfg = self.config
@@ -135,13 +141,16 @@ class UNet2DConditionModel(nn.Module):
         def run_transformer(h, name, heads, dhead):
             nonlocal attn_layer
             tf = self._transformer(attn_layer, heads, dhead, name)
-            feats = None
-            if task_feats is not None and (
-                    cfg.use_task_attention
+            feats = kv = None
+            if (cfg.use_task_attention
                     and attn_layer in cfg.task_attn_layer_set()):
-                feats = task_feats[attn_layer]
+                if task_feats is not None:
+                    feats = task_feats[attn_layer]
+                if task_kv is not None:
+                    kv = task_kv[attn_layer]
             h, tap_feat = tf(h, encoder_hidden_states, feats, main_idx,
-                             aux_idx, tap=tap, train=train)
+                             aux_idx, tap=tap, train=train, task_kv=kv,
+                             task_key_bias=task_key_bias)
             taps.append(tap_feat)
             attn_layer += 1
             return h
@@ -234,6 +243,52 @@ def task_feat_shapes(config: UNetConfig, height: int, width: int):
     for i in (2, 1, 0):                      # up blocks 1..3 (attn ones)
         shapes += [(res[i], inner[i])] * (config.layers_per_block + 1)
     return shapes
+
+
+def attention_layer_names(config: UNetConfig):
+    """Module names of the 16 attention layers in traversal order (matches
+    `__call__`'s run_transformer sequence and the task_feats list order)."""
+    n_blocks = len(config.block_out_channels)
+    names = []
+    for i in range(n_blocks - 1):
+        names += [f"down_blocks_{i}_attentions_{j}"
+                  for j in range(config.layers_per_block)]
+    names.append("mid_block_attentions_0")
+    for i in range(1, n_blocks):
+        names += [f"up_blocks_{i}_attentions_{j}"
+                  for j in range(config.layers_per_block + 1)]
+    return names
+
+
+def task_kv_tables(config: UNetConfig, unet_params, taps_all):
+    """Precompute the cross-task K/V tables for ALL tasks, once per layer.
+
+    The K/V projectors are functions of the SHARED child features only
+    (reference attention.py:500-515: keys/values come from the auxiliary
+    streams' features), so in fused multi-task inference they are identical
+    for every main stream — computing them inside the per-stream vmap
+    re-ran the MLPs n_tasks times. Returns a list over the 16 attention
+    layers of (k_all, v_all) ([n_tasks, B, N, C]) or None for layers
+    without task attention; pass as `UNet2DConditionModel.__call__`'s
+    `task_kv`.
+
+    taps_all: list of 16 [n_tasks, B, N_l, C_l] (child_taps_all_tasks).
+    """
+    from .transformer import _kv_project
+
+    p = unet_params.get("params", unet_params)
+    active = config.task_attn_layer_set()
+    dtype = config.jnp_dtype
+    tables = []
+    for li, name in enumerate(attention_layer_names(config)):
+        if li not in active:
+            tables.append(None)
+            continue
+        bank = p[name]["transformer_blocks_0"]["task_attn"]
+        k = _kv_project(bank, taps_all[li], None, "k", dtype)
+        v = _kv_project(bank, taps_all[li], None, "v", dtype)
+        tables.append((k, v))
+    return tables
 
 
 def inflate_conv_in(params_conv_in: dict, repeat: int = 3) -> dict:

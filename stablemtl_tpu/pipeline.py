@@ -320,17 +320,29 @@ class StableMTLPipeline:
         t = jnp.full((B,), FIXED_TIMESTEP, jnp.int32)
         uparams = params if params is not None else self.unet_params
 
+        # cross-task K/V depends only on the shared child features: build
+        # the all-task tables ONCE (models/unet.task_kv_tables) and share
+        # them — unbatched — across the vmapped streams. Each stream
+        # excludes its own task from the key set with a -inf bias (exactly
+        # softmax-equivalent to gathering the aux subset, exp(-1e9)=0),
+        # so neither the K/V MLPs nor a [T_aux,...] gather run per stream.
+        kv_tables = None
+        if self.is_multi_stream:
+            from .models.unet import task_kv_tables
+            kv_tables = task_kv_tables(self.unet.config, uparams, taps_all)
+
         def one_task(main_idx):
             rgb_lat = self.rgb_latent_for_task(lat, lat_next, main_idx)
             noise = self.noise_latent(rgb_lat[..., :4], rng)
             x = jnp.concatenate([rgb_lat, noise], axis=-1)
             text = self.text_embed(main_idx, B)
             if self.is_multi_stream:
-                aux_idx = self.aux_task_indices(main_idx)
-                feats = [jnp.take(tap, aux_idx, axis=0) for tap in taps_all]
+                key_bias = jnp.where(
+                    (jnp.arange(N_TASKS) == main_idx) & self.exclude_main_task,
+                    -1e9, 0.0).astype(jnp.float32)
                 pred, _ = self.unet.apply(
-                    uparams, x, t, text, task_feats=feats,
-                    main_idx=main_idx, aux_idx=aux_idx, train=False)
+                    uparams, x, t, text, task_kv=kv_tables,
+                    main_idx=main_idx, task_key_bias=key_bias, train=False)
             else:
                 pred, _ = self.unet.apply(uparams, x, t, text, train=False)
             return pred

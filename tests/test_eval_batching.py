@@ -92,6 +92,23 @@ def test_infer_tasks_matches_all_tasks_rows():
         np.testing.assert_allclose(sub, all7[[0, 4, 6]], atol=2e-2)
 
 
+def test_fused_infer_matches_single_task_path():
+    """infer_all_tasks (precomputed all-task K/V tables shared across the
+    vmapped streams, models/unet.task_kv_tables) must agree with the
+    per-task single_infer path (create_task_feats + per-stream K/V MLPs)
+    — proves K/V-table sharing is a pure re-association of the same math.
+    Loose tolerance only for the decode batch shape (7B vs B) reassociating
+    conv reductions through GroupNorm chains."""
+    pipe = _pipeline(multi_stream=True)
+    rgb = jnp.asarray(np.random.RandomState(1)
+                      .uniform(-1, 1, (2, 16, 16, 3)), jnp.float32)
+    fused = np.asarray(pipe.infer_all_tasks(rgb, rgb))
+    for ti in (0, 3, 6):
+        single = np.asarray(pipe.infer(rgb, rgb, jnp.asarray(ti)))
+        np.testing.assert_allclose(fused[ti], single, atol=2e-2)
+        assert np.mean(np.abs(fused[ti] - single)) < 2e-3
+
+
 def test_batched_multitask_eval_value_equivalent():
     """Evaluator batching/padding/dispatch is EXACTLY value-preserving —
     proven with a deterministic elementwise infer fn (device-side batching

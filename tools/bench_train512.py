@@ -91,27 +91,35 @@ def build(res: int, dtype: str):
 
 
 def time_variant(pipe, batch, iters):
+    """HBM-lean timing: the step takes main params from the STATE (frozen
+    child/vae are separate), so the original pipe.unet_params reference is
+    dropped and the state donated — ~2 params-sized buffers fewer than a
+    donate=False loop, which OOMs the 512x512 step on a 15.75G chip. The
+    chain continues across timed segments (donation invalidates old
+    states); slope between segment lengths cancels fixed costs."""
     from stablemtl_tpu.train_state import (OptimizerConfig,
                                            create_train_state,
                                            make_train_step)
 
     state = create_train_state(
         pipe.unet_params,
-        OptimizerConfig(name="adafactor", use_schedule=False))
-    step = make_train_step(pipe, donate=False)
+        OptimizerConfig(optimizer="adafactor", use_schedule=False))
+    pipe.unet_params = None
+    step = make_train_step(pipe, donate=True)
+
+    s_loss = [state, 0.0]
 
     def run(n):
-        s = state
         t0 = time.perf_counter()
         for _ in range(n):
-            s, metrics = step(s, batch)
-        loss = float(metrics["loss"])
-        return time.perf_counter() - t0, loss
+            s_loss[0], metrics = step(s_loss[0], batch)
+        s_loss[1] = float(metrics["loss"])
+        return time.perf_counter() - t0
 
     run(1)  # compile + warmup
-    (t1, _), (t2, loss) = run(1), run(1 + iters)
+    t1, t2 = run(1), run(1 + iters)
     per = max((t2 - t1) / iters, 1e-9)
-    return per, loss
+    return per, s_loss[1]
 
 
 def main():
@@ -130,17 +138,38 @@ def main():
              "valid_mask": np.ones((B, res, res, 1), bool),
              "task_idx": np.asarray(3, np.int32)}
 
-    pipe = build(res, dtype)
-    out = {}
-    for name, disable in (("flash", ""), ("xla", "1")):
-        os.environ["STABLEMTL_DISABLE_FLASH"] = disable
+    only = os.environ.get("STABLEMTL_BENCH_VARIANT")
+    if only:
+        # single-variant mode (one process = one clean HBM arena)
+        os.environ["STABLEMTL_DISABLE_FLASH"] = \
+            "" if only == "flash" else "1"
+        pipe = build(res, dtype)
         per, loss = time_variant(pipe, batch, iters)
-        out[name] = per
         print(json.dumps({
-            "variant": f"train_step_{res}x{res}_b{B}_{name}",
+            "variant": f"train_step_{res}x{res}_b{B}_{only}",
             "s_per_step": round(per, 4),
             "train_imgs_per_sec": round(B / per, 3),
             "loss": round(loss, 5)}), flush=True)
+        return
+
+    # run each variant in its own process: donated/freed buffers from the
+    # first variant otherwise fragment the arena for the second
+    import subprocess
+
+    out = {}
+    for name in ("flash", "xla"):
+        env = dict(os.environ, STABLEMTL_BENCH_VARIANT=name)
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True)
+        sys.stderr.write(r.stderr[-2000:])
+        for line in r.stdout.splitlines():
+            print(line, flush=True)
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("variant", "").endswith(name):
+                out[name] = rec["s_per_step"]
     if "flash" in out and "xla" in out:
         print(json.dumps({"flash_speedup_vs_xla":
                           round(out["xla"] / out["flash"], 3)}), flush=True)
