@@ -84,6 +84,21 @@ def test_task_masking_changes_nothing_when_out_proj_zero(unet_setup):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_attention_layer_names_match_param_tree(unet_setup):
+    """The 16-layer traversal order that task_kv_tables relies on must
+    name real modules carrying task_attn banks (guards against naming
+    drift between __call__ and the precompute path)."""
+    from stablemtl_tpu.models.unet import attention_layer_names
+
+    cfg, unet, x, ctx, params = unet_setup
+    names = attention_layer_names(cfg)
+    assert len(names) == cfg.num_attn_layers == 16
+    p = params["params"]
+    for name in names:
+        assert name in p, name
+        assert "task_attn" in p[name]["transformer_blocks_0"], name
+
+
 def test_inflate_conv_in_duplicate_invariance():
     """Inflated conv on a 3x-duplicated input == base conv on the input
     (reference util/model.py:11-27 repeat/scale rule)."""
