@@ -197,3 +197,165 @@ def test_clip_text_parity_vs_transformers():
         num_layers=2, max_position_embeddings=77, hidden_act="gelu"))
     got = fm.apply({"params": params}, jnp.asarray(ids.numpy()))
     np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# Cross-task attention vs a torch twin of the reference module
+# (attention.py:463-600 + util/model.py:113-146: per-task LN -> K/V MLP,
+#  main-task LN -> Q MLPv2, n_attns-head attention over the TASK axis,
+#  output projection)
+# ---------------------------------------------------------------------------
+
+class _TorchTaskAttention(tnn.Module):
+    def __init__(self, C, T, n_attns, q_hidden, q_hidden_layers):
+        super().__init__()
+        self.C, self.T, self.h = C, T, n_attns
+        mk = lambda: tnn.Sequential(tnn.Linear(C, C // 2), tnn.GELU(),
+                                    tnn.Linear(C // 2, C))
+        self.norm_k = tnn.ModuleList(tnn.LayerNorm(C) for _ in range(T))
+        self.norm_v = tnn.ModuleList(tnn.LayerNorm(C) for _ in range(T))
+        self.to_k = tnn.ModuleList(mk() for _ in range(T))
+        self.to_v = tnn.ModuleList(mk() for _ in range(T))
+        self.norm_q = tnn.ModuleList(tnn.LayerNorm(C) for _ in range(T))
+        qdims = [C] + [q_hidden] * (q_hidden_layers + 1) + [C]
+        def mq():
+            layers = []
+            for i in range(len(qdims) - 1):
+                layers.append(tnn.Linear(qdims[i], qdims[i + 1]))
+                if i < len(qdims) - 2:
+                    layers.append(tnn.GELU())
+            return tnn.Sequential(*layers)
+        self.to_q = tnn.ModuleList(mq() for _ in range(T))
+        self.to_out = tnn.Linear(C, C)
+
+    def forward(self, hidden, task_feats, main_idx, aux_idx):
+        # hidden [B,N,C]; task_feats [T_aux,B,N,C] aligned with aux_idx
+        ks, vs = [], []
+        for j, t in enumerate(aux_idx):
+            f = task_feats[j]
+            ks.append(self.to_k[t](self.norm_k[t](f)))
+            vs.append(self.to_v[t](self.norm_v[t](f)))
+        k = torch.stack(ks, 0)                     # [Ta,B,N,C]
+        v = torch.stack(vs, 0)
+        q = self.to_q[main_idx](self.norm_q[main_idx](hidden))  # [B,N,C]
+        B, N, C = q.shape
+        h, d = self.h, C // self.h
+        qh = q.view(B, N, h, d)
+        kh = k.view(-1, B, N, h, d)
+        vh = v.view(-1, B, N, h, d)
+        scores = torch.einsum("bnhd,tbnhd->bnht", qh, kh) / (d ** 0.5)
+        probs = torch.softmax(scores, dim=-1)
+        out = torch.einsum("bnht,tbnhd->bnhd", probs, vh).reshape(B, N, C)
+        return self.to_out(out)
+
+
+def test_task_attention_bank_parity():
+    from stablemtl_tpu.models.transformer import TaskAttentionBank
+
+    C, T, n_attns, qh, qhl = 32, 7, 4, 24, 2
+    torch.manual_seed(3)
+    tm = _TorchTaskAttention(C, T, n_attns, qh, qhl).eval()
+
+    # pack the torch per-task modules into the stacked bank layout
+    def stack(mods, attr_path):
+        outs = []
+        for m in mods:
+            for a in attr_path:
+                m = m[a] if isinstance(a, int) else getattr(m, a)
+            outs.append(m.detach().numpy())
+        return np.stack(outs)
+
+    params = {}
+    for nm, norms, mlps in (("k", tm.norm_k, tm.to_k),
+                            ("v", tm.norm_v, tm.to_v)):
+        params[f"task_norm_{nm}_scale"] = stack(norms, ["weight"])
+        params[f"task_norm_{nm}_bias"] = stack(norms, ["bias"])
+        params[f"task_to_{nm}_fc1_kernel"] = stack(
+            mlps, [0, "weight"]).transpose(0, 2, 1)
+        params[f"task_to_{nm}_fc1_bias"] = stack(mlps, [0, "bias"])
+        params[f"task_to_{nm}_fc2_kernel"] = stack(
+            mlps, [2, "weight"]).transpose(0, 2, 1)
+        params[f"task_to_{nm}_fc2_bias"] = stack(mlps, [2, "bias"])
+    params["task_norm_q_scale"] = stack(tm.norm_q, ["weight"])
+    params["task_norm_q_bias"] = stack(tm.norm_q, ["bias"])
+    for li, seq_i in enumerate([0, 2, 4, 6]):
+        params[f"task_to_q_net_{2 * li}_kernel"] = stack(
+            tm.to_q, [seq_i, "weight"]).transpose(0, 2, 1)
+        params[f"task_to_q_net_{2 * li}_bias"] = stack(tm.to_q,
+                                                       [seq_i, "bias"])
+    params["to_out_task_kernel"] = tm.to_out.weight.detach().numpy().T
+    params["to_out_task_bias"] = tm.to_out.bias.detach().numpy()
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    B, N = 2, 12
+    main_idx, aux = 3, [0, 1, 2, 4, 5, 6]
+    hidden = torch.randn(B, N, C)
+    feats = torch.randn(len(aux), B, N, C)
+    with torch.no_grad():
+        want = tm(hidden, feats, main_idx, aux).numpy()
+
+    bank = TaskAttentionBank(dim=C, n_tasks=T, n_attns=n_attns,
+                             q_hidden=qh, q_hidden_layers=qhl)
+    got = bank.apply({"params": params}, jnp.asarray(hidden.numpy()),
+                     jnp.asarray(feats.numpy()), jnp.asarray(main_idx),
+                     jnp.asarray(aux))
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+    # the shared-KV inference path (task_kv tables + -inf key bias on the
+    # main task) must produce the SAME output
+    from stablemtl_tpu.models.transformer import _kv_project
+
+    all_feats = torch.randn(T, B, N, C)
+    all_feats[aux] = feats  # main-task slot present but masked out
+    k_all = _kv_project(params, jnp.asarray(all_feats.numpy()), None, "k",
+                        jnp.float32)
+    v_all = _kv_project(params, jnp.asarray(all_feats.numpy()), None, "v",
+                        jnp.float32)
+    key_bias = jnp.where(jnp.arange(T) == main_idx, -1e9, 0.0)
+    got_kv = bank.apply({"params": params}, jnp.asarray(hidden.numpy()),
+                        None, jnp.asarray(main_idx), None,
+                        task_kv=(k_all, v_all), task_key_bias=key_bias)
+    np.testing.assert_allclose(np.asarray(got_kv), want, atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# VAE up/down sampling ops vs torch (asymmetric SD padding; the
+# transposed-conv upsample vs F.interpolate nearest + conv)
+# ---------------------------------------------------------------------------
+
+def test_vae_downsample_asymmetric_padding_parity():
+    torch.manual_seed(4)
+    conv = tnn.Conv2d(8, 8, 3, stride=2, padding=0).eval()
+    x = torch.randn(1, 8, 10, 10)
+    with torch.no_grad():
+        want = conv(F.pad(x, (0, 1, 0, 1))).numpy()  # SD VAE (0,1)x(0,1)
+
+    kernel = jnp.asarray(conv.weight.detach().numpy()
+                         .transpose(2, 3, 1, 0))     # OIHW -> HWIO
+    xn = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    dn = jax.lax.conv_dimension_numbers(xn.shape, kernel.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    got = jax.lax.conv_general_dilated(
+        xn, kernel, (2, 2), ((0, 1), (0, 1)), dimension_numbers=dn)
+    got = got + jnp.asarray(conv.bias.detach().numpy())
+    np.testing.assert_allclose(np.transpose(got, (0, 3, 1, 2)), want,
+                               atol=ATOL)
+
+
+def test_upsample_conv_vs_torch_nearest():
+    from stablemtl_tpu.ops.phase_upsample import upsample2x_conv3x3
+
+    torch.manual_seed(5)
+    conv = tnn.Conv2d(6, 7, 3, padding=1).eval()
+    x = torch.randn(2, 6, 9, 11)
+    with torch.no_grad():
+        want = conv(F.interpolate(x, scale_factor=2.0,
+                                  mode="nearest")).numpy()
+
+    kernel = jnp.asarray(conv.weight.detach().numpy()
+                         .transpose(2, 3, 1, 0))
+    got = upsample2x_conv3x3(
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), kernel,
+        jnp.asarray(conv.bias.detach().numpy()))
+    np.testing.assert_allclose(np.transpose(got, (0, 3, 1, 2)), want,
+                               atol=ATOL)
