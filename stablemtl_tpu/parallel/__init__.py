@@ -6,6 +6,11 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
+from .tensor_parallel import (
+    tp_param_shardings,
+    tp_param_specs,
+    tp_spec,
+)
 
 __all__ = [
     "MeshConfig",
@@ -14,4 +19,7 @@ __all__ = [
     "make_mesh",
     "replicated_sharding",
     "shard_batch",
+    "tp_param_shardings",
+    "tp_param_specs",
+    "tp_spec",
 ]

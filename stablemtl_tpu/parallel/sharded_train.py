@@ -26,6 +26,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..pipeline import StableMTLPipeline
 from ..train_state import TrainState, frozen_params_of, make_train_step
 from .mesh import DATA_AXIS, batch_sharding, replicated_sharding
+from .tensor_parallel import (
+    opt_leaf_param_names,
+    path_names,
+    tp_spec,
+)
 
 
 def _zero1_sharding_for(x, mesh: Mesh) -> NamedSharding:
@@ -44,30 +49,55 @@ def _zero1_sharding_for(x, mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def shard_train_state(state: TrainState, mesh: Mesh,
-                      zero1: bool = False) -> TrainState:
-    """Place a train state on the mesh: params replicated, opt_state
-    replicated or ZeRO-1 sharded."""
-    rep = replicated_sharding(mesh)
-    params = jax.device_put(state.params, rep)
+def _param_sharding(path, x, mesh: Mesh, tp: bool) -> NamedSharding:
+    if not tp:
+        return replicated_sharding(mesh)
+    return NamedSharding(mesh, tp_spec(path_names(path), x.shape, mesh))
+
+
+def _opt_sharding(path, x, mesh: Mesh, zero1: bool, tp: bool):
+    """Optimizer-state leaf sharding: mirror the TP spec of the parameter
+    the moment tracks (path suffix after the last 'params'), else ZeRO-1
+    over `data`, else replicated."""
+    if tp:
+        tail = opt_leaf_param_names(path)
+        if tail is not None:
+            spec = tp_spec(tail, x.shape, mesh)
+            if spec != jax.sharding.PartitionSpec():
+                return NamedSharding(mesh, spec)
     if zero1:
-        opt_state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, _zero1_sharding_for(x, mesh)),
-            state.opt_state)
-    else:
-        opt_state = jax.device_put(state.opt_state, rep)
+        return _zero1_sharding_for(x, mesh)
+    return replicated_sharding(mesh)
+
+
+def shard_train_state(state: TrainState, mesh: Mesh,
+                      zero1: bool = False, tp: bool = False) -> TrainState:
+    """Place a train state on the mesh: params replicated (or TP-sharded
+    over `model`), opt_state replicated / ZeRO-1 / mirroring TP."""
+    rep = replicated_sharding(mesh)
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: jax.device_put(x, _param_sharding(p, x, mesh, tp)),
+        state.params)
+    opt_state = jax.tree_util.tree_map_with_path(
+        lambda p, x: jax.device_put(
+            x, _opt_sharding(p, x, mesh, zero1, tp)),
+        state.opt_state)
     return state.replace(step=jax.device_put(state.step, rep),
                          params=params, opt_state=opt_state)
 
 
 def make_sharded_train_step(pipeline: StableMTLPipeline, mesh: Mesh,
                             base_seed: int = 0, zero1: bool = False,
+                            tp: bool = False,
                             donate: bool = True) -> Callable:
     """Jitted step with explicit shardings over `mesh`.
 
     Returns fn(state, batch) like make_train_step; `state` must have been
-    placed with shard_train_state(mesh, zero1=...). Output shardings mirror
-    the inputs so the layout is stable across steps.
+    placed with shard_train_state(mesh, zero1=..., tp=...). Output
+    shardings mirror the inputs so the layout is stable across steps.
+    With tp=True the transformer projection weights (and their optimizer
+    moments) are sharded over the `model` axis (tensor_parallel.py policy)
+    and GSPMD inserts the collectives.
     """
     inner = make_train_step(pipeline, base_seed=base_seed, donate=False)
     frozen = inner.frozen
@@ -76,12 +106,11 @@ def make_sharded_train_step(pipeline: StableMTLPipeline, mesh: Mesh,
 
     # Build sharding pytrees from a template state placed per policy.
     def state_shardings(state: TrainState):
-        params_s = jax.tree_util.tree_map(lambda _: rep, state.params)
-        if zero1:
-            opt_s = jax.tree_util.tree_map(
-                lambda x: _zero1_sharding_for(x, mesh), state.opt_state)
-        else:
-            opt_s = jax.tree_util.tree_map(lambda _: rep, state.opt_state)
+        params_s = jax.tree_util.tree_map_with_path(
+            lambda p, x: _param_sharding(p, x, mesh, tp), state.params)
+        opt_s = jax.tree_util.tree_map_with_path(
+            lambda p, x: _opt_sharding(p, x, mesh, zero1, tp),
+            state.opt_state)
         return TrainState(step=rep, params=params_s, opt_state=opt_s,
                           tx=state.tx)
 

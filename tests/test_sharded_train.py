@@ -173,3 +173,60 @@ def test_sharded_checkpoint_resume_equivalence(tmp_path):
               if hasattr(x, "sharding") and x.ndim >= 2
               and any(d % 8 == 0 for d in x.shape)]
     assert any(not l.sharding.is_fully_replicated for l in leaves)
+
+
+def test_tensor_parallel_step_matches_unsharded():
+    """dp x tp (4x2) mesh: transformer projection weights sharded over
+    `model` (tensor_parallel.py policy), GSPMD inserting the collectives.
+    First-step loss must match the unsharded step (up to reassociation),
+    the to_q kernels and their Adam moments must actually be sharded, and
+    training must progress."""
+    from jax.sharding import PartitionSpec as P
+    from stablemtl_tpu.parallel import MeshConfig, tp_param_specs
+
+    mesh = make_mesh(MeshConfig(model=2))
+    assert mesh.shape == {"data": 4, "model": 2}
+    pipe = _pipeline()
+    cfg = OptimizerConfig(lr=1e-3, use_schedule=False)
+
+    specs = tp_param_specs(pipe.unet_params, mesh)
+    spec_leaves = jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda s: isinstance(s, P))
+    n_sharded = sum(1 for s in spec_leaves if s != P())
+    assert n_sharded >= 32, f"TP policy sharded only {n_sharded} params"
+
+    state_ref = create_train_state(pipe.unet_params, cfg)
+    step_ref = make_train_step(pipe, donate=False)
+
+    state_tp = create_train_state(pipe.unet_params, cfg)
+    state_tp = shard_train_state(state_tp, mesh, zero1=True, tp=True)
+    step_tp = make_sharded_train_step(pipe, mesh, zero1=True, tp=True,
+                                      donate=False)
+
+    # a to_q kernel is physically sharded over `model`
+    qk = state_tp.params["params"]["down_blocks_0_attentions_0"][
+        "transformer_blocks_0"]["attn1"]["to_q"]["kernel"]
+    assert qk.sharding.spec == P(None, "model"), qk.sharding.spec
+    b = _batch(seed=3)
+    state_ref, m_ref = step_ref(state_ref, b)
+    state_tp, m_tp = step_tp(state_tp, shard_batch(b, mesh))
+    # looser than the pure-DP test: TP resharding (row-parallel partial
+    # sums, GEGLU half-splits) changes reduction order through the random
+    # untrained GroupNorm chains, which amplify ~1e-7 to ~1e-2 (same
+    # effect documented at test_infer_all_tasks_data_parallel); measured
+    # delta here is ~5e-3 relative
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_tp["loss"]),
+                               rtol=2e-2)
+
+    losses = [float(m_tp["loss"])]
+    for i in range(1, 4):
+        state_tp, m_tp = step_tp(state_tp, shard_batch(_batch(seed=3), mesh))
+        losses.append(float(m_tp["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state_tp.step) == 4
+
+    # optimizer moments mirror the TP layout somewhere in the tree
+    mom = [x for x in jax.tree_util.tree_leaves(state_tp.opt_state)
+           if hasattr(x, "sharding")
+           and x.sharding.spec == P(None, "model")]
+    assert mom, "expected TP-sharded optimizer moments"
