@@ -90,6 +90,31 @@ def main(argv=None):
                                        "use_schedule": False})
     state = create_train_state(pipeline.unet_params, opt_cfg)
 
+    # multi-device: explicit (data x model) mesh — batch sharded over
+    # `data`, optional tensor parallelism over `model`, ZeRO-1 moments
+    # (config `parallel: {model: M, zero1: bool}`; reference scope is DDP
+    # via Accelerate, train_stablemtl.py:176-184)
+    pcfg = cfg.get("parallel", {})
+    model_axis = int(pcfg.get("model", 1))
+    train_step_fn = None
+    if n_devices > 1 or model_axis > 1:
+        from ..parallel import MeshConfig, make_mesh, shard_batch
+        from ..parallel.sharded_train import (make_sharded_train_step,
+                                              shard_train_state)
+
+        mesh = make_mesh(MeshConfig(model=model_axis))
+        tp = model_axis > 1
+        zero1 = bool(pcfg.get("zero1", True))
+        log.info("mesh %s tp=%s zero1=%s", dict(mesh.shape), tp, zero1)
+        state = shard_train_state(state, mesh, zero1=zero1, tp=tp)
+        sharded_step = make_sharded_train_step(
+            pipeline, mesh, base_seed=seed, zero1=zero1, tp=tp,
+            compute_grad_stats=bool(cfg.get("trainer", {})
+                                    .get("log_grad_norm", False)))
+
+        def train_step_fn(st, batch):
+            return sharded_step(st, shard_batch(batch, mesh))
+
     loader = build_train_loader(cfg, args.base_data_dir, accum,
                                 per_step, seed=int(cfg["dataloader"]
                                                    .get("seed", seed)))
@@ -119,7 +144,8 @@ def main(argv=None):
     trainer = StableMTLTrainer(
         pipeline, state, loader, tcfg, ckpt=ckpt,
         val_datasets=val_datasets, vis_datasets=vis_datasets,
-        metric_writer=writer, class_colors=class_colors())
+        metric_writer=writer, class_colors=class_colors(),
+        train_step_fn=train_step_fn)
     if not args.no_resume:
         trainer.maybe_resume()
     trainer.train()

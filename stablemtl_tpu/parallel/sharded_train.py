@@ -88,8 +88,8 @@ def shard_train_state(state: TrainState, mesh: Mesh,
 
 def make_sharded_train_step(pipeline: StableMTLPipeline, mesh: Mesh,
                             base_seed: int = 0, zero1: bool = False,
-                            tp: bool = False,
-                            donate: bool = True) -> Callable:
+                            tp: bool = False, donate: bool = True,
+                            compute_grad_stats: bool = False) -> Callable:
     """Jitted step with explicit shardings over `mesh`.
 
     Returns fn(state, batch) like make_train_step; `state` must have been
@@ -99,7 +99,8 @@ def make_sharded_train_step(pipeline: StableMTLPipeline, mesh: Mesh,
     moments) are sharded over the `model` axis (tensor_parallel.py policy)
     and GSPMD inserts the collectives.
     """
-    inner = make_train_step(pipeline, base_seed=base_seed, donate=False)
+    inner = make_train_step(pipeline, base_seed=base_seed, donate=False,
+                            compute_grad_stats=compute_grad_stats)
     frozen = inner.frozen
     rep = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)

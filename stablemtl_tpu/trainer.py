@@ -63,7 +63,8 @@ class StableMTLTrainer:
                  val_datasets: Sequence = (),
                  metric_writer: Optional[Callable[[int, Dict], None]] = None,
                  class_colors: Optional[np.ndarray] = None,
-                 vis_datasets: Sequence = ()):
+                 vis_datasets: Sequence = (),
+                 train_step_fn: Optional[Callable] = None):
         self.pipeline = pipeline
         self.state = state
         self.loader = loader
@@ -76,7 +77,9 @@ class StableMTLTrainer:
         self.metric_writer = metric_writer
         self.class_colors = class_colors
 
-        self.train_step = make_train_step(
+        # train_step_fn lets the CLI inject an explicitly-sharded step
+        # (parallel/sharded_train.py) when running over a device mesh
+        self.train_step = train_step_fn or make_train_step(
             pipeline, base_seed=config.base_seed,
             compute_grad_stats=config.log_grad_norm)
         self._eval_step = None
