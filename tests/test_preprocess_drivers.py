@@ -165,3 +165,63 @@ def test_ft3d_driver_layout(ft3d_raw, tmp_path):
     flow, mask = decode_ft3d_flow(enc)
     assert mask.all()  # all |flow| < 500 in the fixture
     assert np.abs(flow).max() <= 5.0 + 1 / 64
+
+
+# ---------------------------------------------------------------------------
+# MID-Intrinsics preprocessing (EXR-gated IO; math is IO-agnostic)
+# ---------------------------------------------------------------------------
+
+def test_mid_tonemap_and_shading_roundtrip():
+    from stablemtl_tpu.preprocess.mid_intrinsics import (
+        shading_from_albedo, tone_map_mid)
+
+    r = np.random.default_rng(0)
+    hdr = r.uniform(0.0, 4.0, (16, 20, 3)).astype(np.float32)
+    tm = tone_map_mid(hdr)
+    assert tm.shape == hdr.shape and tm.min() >= 0 and tm.max() <= 1
+    # tone map is monotone in the HDR input per pixel
+    assert tone_map_mid(hdr * 1.0)[3, 4, 0] == tm[3, 4, 0]
+
+    albedo = r.uniform(0.1, 1.0, (16, 20, 3)).astype(np.float32)
+    shading = shading_from_albedo(tm, albedo)
+    np.testing.assert_allclose(shading * albedo, tm, atol=1e-5)
+
+
+def test_mid_split_files(tmp_path):
+    from stablemtl_tpu.preprocess.mid_intrinsics import write_split_files
+
+    names = [f"scene_{i:03d}" for i in range(20)]
+    write_split_files(str(tmp_path), names, test_frac=0.2, lite_every=5)
+    test = (tmp_path / "test.txt").read_text().splitlines()
+    val = (tmp_path / "val.txt").read_text().splitlines()
+    lite = (tmp_path / "lite.txt").read_text().splitlines()
+    assert test == names[:4]
+    assert val == names[4:]
+    assert lite == names[::5]
+    assert not (set(test) & set(val))
+
+
+def test_mid_process_scene_if_exr_available(tmp_path):
+    import cv2
+    import pytest as _pytest
+
+    from stablemtl_tpu.preprocess.mid_intrinsics import process_scene
+
+    os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+    r = np.random.default_rng(1)
+    hdr = r.uniform(0.0, 2.0, (8, 10, 3)).astype(np.float32)
+    albedo = r.uniform(0.1, 1.0, (8, 10, 3)).astype(np.float32)
+    render = str(tmp_path / "render.exr")
+    alb = str(tmp_path / "albedo.exr")
+    try:
+        ok = (cv2.imwrite(render, hdr[..., ::-1])
+              and cv2.imwrite(alb, albedo[..., ::-1]))
+    except cv2.error:
+        ok = False
+    if not ok:
+        _pytest.skip("cv2 built without OpenEXR support")
+    out = process_scene(render, alb, str(tmp_path / "out" / "scene_000"))
+    assert os.path.exists(out["rgb"])
+    for suffix in ("", "_albedo", "_shading"):
+        img = cv2.imread(str(tmp_path / "out" / f"scene_000{suffix}.jpg"))
+        assert img is not None and img.shape == (8, 10, 3)
