@@ -93,3 +93,62 @@ def test_cityscapes_encoder_shares_palette():
     cs = CityscapesEncoder(n_classes=8)
     vk = VKitti2Encoder(n_classes=8)
     np.testing.assert_array_equal(cs.class_color_embeddings, vk.class_color_embeddings)
+
+
+def test_multi_res_noise_like():
+    import jax
+    import jax.numpy as jnp
+    from stablemtl_tpu.utils.image_util import multi_res_noise_like
+
+    x = jnp.zeros((2, 16, 16, 4))
+    k = jax.random.PRNGKey(0)
+    n1 = multi_res_noise_like(k, x, strength=0.9)
+    n2 = multi_res_noise_like(k, x, strength=0.9)
+    assert n1.shape == x.shape
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    # unit variance after the pyramid accumulation (doc contract)
+    assert abs(float(jnp.std(n1)) - 1.0) < 0.15
+    # strength=0 keeps only the base white noise octave... pyramid off
+    base = multi_res_noise_like(k, x, strength=0.0)
+    assert np.isfinite(np.asarray(base)).all()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        multi_res_noise_like(k, x, downscale_strategy="nope")
+
+
+def test_import_data_splits_tool(tmp_path, monkeypatch):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "import_data_splits",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "import_data_splits.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    ref = tmp_path / "ref"
+    (ref / "data_split" / "vkitti").mkdir(parents=True)
+    (ref / "data_split" / "vkitti" / "vkitti_depth_train.txt").write_text(
+        "a\nb\n")
+    (ref / "data_split" / "readme.md").write_text("not copied")
+    out = tmp_path / "out"
+    monkeypatch.setattr("sys.argv", ["x", "--reference", str(ref),
+                                     "--out", str(out)])
+    mod.main()
+    assert (out / "vkitti" / "vkitti_depth_train.txt").read_text() == "a\nb\n"
+    assert not (out / "readme.md").exists()  # only .txt lists are imported
+
+
+def test_step_timer_ema():
+    import time as _time
+    from stablemtl_tpu.utils.profiling import StepTimer, annotate
+
+    t = StepTimer(ema=0.5)
+    with t:
+        _time.sleep(0.01)
+    first = t.value
+    assert first is not None and first >= 0.01
+    with t:
+        pass
+    assert t.value < first  # EMA moved toward the fast step
+    with annotate("test-region"):
+        pass
