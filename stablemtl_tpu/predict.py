@@ -45,6 +45,7 @@ class Predictor:
         self.class_colors = class_colors
         self.processing_res = processing_res
         self._infer = jit_infer(pipeline)
+        self._infer_all = None  # built lazily on first all_tasks() call
 
     def __call__(self, image: np.ndarray, task: str,
                  next_image: Optional[np.ndarray] = None,
@@ -66,6 +67,36 @@ class Predictor:
         return Prediction(task=task, output=out,
                           visualization=_visualize(task, out,
                                                    self.class_colors))
+
+    def all_tasks(self, image: np.ndarray,
+                  next_image: Optional[np.ndarray] = None,
+                  match_input_res: bool = True) -> dict:
+        """All 7 tasks from one fused forward (VAE encode, child taps and
+        cross-task K/V computed once — pipeline.infer_all_tasks); the
+        reference runs its full pipeline once per task. Returns
+        {task: Prediction}."""
+        from .pipeline import TASKS, jit_infer_all_tasks
+
+        if self._infer_all is None:
+            self._infer_all = jit_infer_all_tasks(self.pipeline)
+        rgb = _to_norm(image)
+        rgb_next = _to_norm(next_image) if next_image is not None else rgb
+        in_hw = rgb.shape[:2]
+        if self.processing_res > 0:
+            rgb = resize_max_res(rgb, self.processing_res)
+            rgb_next = resize_max_res(rgb_next, self.processing_res)
+        preds = np.asarray(self._infer_all(rgb[None], rgb_next[None]))
+        results = {}
+        for ti, task in enumerate(TASKS):
+            pred3 = preds[ti, 0]
+            if match_input_res and pred3.shape[:2] != in_hw:
+                pred3 = cv2.resize(pred3, (in_hw[1], in_hw[0]),
+                                   interpolation=cv2.INTER_LINEAR)
+            out = postprocess_prediction(task, pred3, self.class_colors)
+            results[task] = Prediction(
+                task=task, output=out,
+                visualization=_visualize(task, out, self.class_colors))
+        return results
 
 
 def _to_norm(img: np.ndarray) -> np.ndarray:
