@@ -15,7 +15,8 @@ images/sec. vs_baseline = measured / 0.4.
 
 Env knobs: STABLEMTL_BENCH_PRESET (full|small|tiny, default full on TPU,
 tiny elsewhere), STABLEMTL_BENCH_RES (default 512), STABLEMTL_BENCH_BATCH
-(default 1), STABLEMTL_BENCH_ITERS (default 8).
+(default 4 on TPU — the largest batch that fits 15.75G; halves on OOM),
+STABLEMTL_BENCH_ITERS (default 8).
 """
 
 from __future__ import annotations

@@ -66,7 +66,8 @@ def make_chain(f):
 
 
 def main():
-    parts = sys.argv[1:] or ["decode", "decode_noattn", "full"]
+    parts = sys.argv[1:] or ["decode", "decode_noattn", "encode", "child",
+                             "full"]
     res = int(os.environ.get("STABLEMTL_BENCH_RES", "512"))
     batch = int(os.environ.get("STABLEMTL_BENCH_BATCH", "4"))
     iters = int(os.environ.get("STABLEMTL_BENCH_ITERS", "8"))
