@@ -230,3 +230,47 @@ def test_tensor_parallel_step_matches_unsharded():
            if hasattr(x, "sharding")
            and x.sharding.spec == P(None, "model")]
     assert mom, "expected TP-sharded optimizer moments"
+
+
+def test_tp_spec_policy_unit():
+    """The path->PartitionSpec policy itself (no compiles): col/row
+    mapping, divisibility guards, bank specs, moment-path mirroring."""
+    from jax.sharding import PartitionSpec as P
+    from stablemtl_tpu.parallel import MeshConfig, tp_spec
+    from stablemtl_tpu.parallel.tensor_parallel import opt_leaf_param_names
+
+    mesh2 = make_mesh(MeshConfig(model=2))
+    mesh1 = make_mesh(MeshConfig(model=1))
+
+    # column-parallel: attention inputs shard the OUTPUT features
+    assert tp_spec(("attn1", "to_q", "kernel"), (32, 32), mesh2) \
+        == P(None, "model")
+    assert tp_spec(("ff", "net_0", "proj", "kernel"), (32, 256), mesh2) \
+        == P(None, "model")
+    # row-parallel: output projections shard the INPUT features
+    assert tp_spec(("attn1", "to_out_0", "kernel"), (32, 32), mesh2) \
+        == P("model", None)
+    # column-parallel bias shards; row-parallel bias must NOT
+    assert tp_spec(("attn2", "to_k", "bias"), (32,), mesh2) == P("model")
+    assert tp_spec(("attn1", "to_out_0", "bias"), (32,), mesh2) == P()
+    # non-divisible feature dims stay replicated
+    assert tp_spec(("attn1", "to_q", "kernel"), (32, 33), mesh2) == P()
+    # unknown modules (convs, norms) stay replicated
+    assert tp_spec(("conv1", "kernel"), (3, 3, 32, 32), mesh2) == P()
+    assert tp_spec(("norm1", "scale"), (32,), mesh2) == P()
+    # cross-task banks [T, din, dout]: fc1 col / fc2 row
+    assert tp_spec(("task_attn", "task_to_k_fc1_kernel"), (7, 32, 16),
+                   mesh2) == P(None, None, "model")
+    assert tp_spec(("task_attn", "task_to_v_fc2_kernel"), (7, 16, 32),
+                   mesh2) == P(None, "model", None)
+    # model=1 mesh: everything replicated
+    assert tp_spec(("attn1", "to_q", "kernel"), (32, 32), mesh1) == P()
+
+    # moment-path mirroring: the param path is the suffix after 'params'
+    class K:  # DictKey lookalike
+        def __init__(self, key):
+            self.key = key
+
+    path = (K("0"), K("mu"), K("params"), K("attn1"), K("to_q"), K("kernel"))
+    assert opt_leaf_param_names(path) == ("attn1", "to_q", "kernel")
+    assert opt_leaf_param_names((K("count"),)) is None
