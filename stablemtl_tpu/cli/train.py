@@ -89,6 +89,12 @@ def main(argv=None):
         opt_cfg = opt_cfg.__class__(**{**opt_cfg.__dict__,
                                        "use_schedule": False})
     state = create_train_state(pipeline.unet_params, opt_cfg)
+    # Drop the builder's reference to the trainable params: the train step
+    # reads them from the (donated) state and eval rebinds from state.params,
+    # so keeping pipeline.unet_params alive would pin a second params-sized
+    # f32 buffer — exactly what makes the full-size 512x512 single-chip step
+    # OOM (measured, tools/bench_train512.py; CLAUDE.md HBM notes).
+    pipeline.unet_params = None
 
     # multi-device: explicit (data x model) mesh — batch sharded over
     # `data`, optional tensor parallelism over `model`, ZeRO-1 moments

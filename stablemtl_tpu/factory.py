@@ -44,7 +44,8 @@ log = logging.getLogger(__name__)
 # ---------------------------------------------------------------------------
 
 def model_configs(preset: str, multi_stream: bool, trainer_cfg,
-                  dtype: str = "float32", remat: bool = False
+                  dtype: str = "float32", remat: bool = False,
+                  fast_math: bool = False
                   ) -> Tuple[UNetConfig, UNetConfig, VAEConfig, int]:
     """(main unet cfg, child unet cfg, vae cfg, text_dim)."""
     t = trainer_cfg or {}
@@ -55,23 +56,24 @@ def model_configs(preset: str, multi_stream: bool, trainer_cfg,
         attn_mask_ratio=float(get("attn_mask_ratio", 0.0)),
         attn_mask_type=str(get("attn_mask_type", "attn_prob")),
         task_attn_layers=str(get("apply_task_attn_to_layers", "all")),
-        dtype=dtype, remat=remat,
+        dtype=dtype, remat=remat, fast_math=fast_math,
     )
+    fm = dict(dtype=dtype, fast_math=fast_math)
     if preset == "tiny":
         return (tiny_unet_config(**task_kw),
-                tiny_unet_config(dtype=dtype),
-                tiny_vae_config(dtype=dtype),
+                tiny_unet_config(**fm),
+                tiny_vae_config(**fm),
                 tiny_unet_config().cross_attention_dim)
     if preset == "small":
         base = dict(block_out_channels=(160, 320, 640, 640),
                     attention_heads=(5, 10, 20, 20))
         return (UNetConfig(**base, **task_kw),
-                UNetConfig(**base, dtype=dtype),
+                UNetConfig(**base, **fm),
                 VAEConfig(block_out_channels=(64, 128, 256, 256),
-                          dtype=dtype), 1024)
+                          **fm), 1024)
     if preset == "full":
-        return (UNetConfig(**task_kw), UNetConfig(dtype=dtype),
-                VAEConfig(dtype=dtype), 1024)
+        return (UNetConfig(**task_kw), UNetConfig(**fm),
+                VAEConfig(**fm), 1024)
     raise ValueError(preset)
 
 
@@ -93,8 +95,12 @@ def build_pipeline(cfg: Config, seed: int = 0) -> StableMTLPipeline:
     preset = model_cfg.get("size_preset", "full")
     dtype = model_cfg.get("compute_dtype", "float32")
     remat = bool(model_cfg.get("remat", False))
+    # fast_math (bf16 norms-in-compute-dtype + tanh gelu) defaults ON for
+    # bf16 INFERENCE-oriented builds only when requested in the config
+    fast_math = bool(model_cfg.get("fast_math", False))
     ucfg, ccfg, vcfg, text_dim = model_configs(
-        preset, multi_stream, trainer_cfg, dtype=dtype, remat=remat)
+        preset, multi_stream, trainer_cfg, dtype=dtype, remat=remat,
+        fast_math=fast_math)
     # 'avg' second-frame mode has one 4ch rgb group -> conv_in 8 channels
     # (reference util/model.py:191-194 repeat=2)
     pipe_cfg_early = cfg.get("pipeline", {})

@@ -69,6 +69,11 @@ class ResnetBlock(nn.Module):
 
     Parity with reference ResnetBlock3D (resnet.py:110-204) minus the task
     fold. `eps` is 1e-5 in the UNet, 1e-6 in the VAE.
+
+    norm_dtype: output dtype of the GroupNorms. float32 (default) keeps the
+    normalized activations in f32 through the SiLU; the bf16 fast path sets
+    it to the compute dtype, halving the norm->conv HBM traffic (flax
+    computes the statistics in f32 internally either way).
     """
 
     out_channels: int
@@ -77,11 +82,13 @@ class ResnetBlock(nn.Module):
     eps: float = 1e-5
     output_scale_factor: float = 1.0
     dtype: jnp.dtype = jnp.float32
+    norm_dtype: Optional[jnp.dtype] = None  # None = float32
 
     @nn.compact
     def __call__(self, x, temb: Optional[jax.Array] = None):
+        ndt = self.norm_dtype or jnp.float32
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32,
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=ndt,
                          name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
@@ -92,7 +99,7 @@ class ResnetBlock(nn.Module):
                          name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
 
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32,
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=ndt,
                          name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
@@ -176,13 +183,16 @@ class Upsample(nn.Module):
 class GEGLU(nn.Module):
     inner_dim: int
     dtype: jnp.dtype = jnp.float32
+    # exact erf gelu by default: diffusers GEGLU uses F.gelu (not the tanh
+    # approx). fast_gelu swaps in the tanh approximation — its max error
+    # (~1e-3) is below bf16 rounding, and erf is markedly slower on the VPU.
+    fast_gelu: bool = False
 
     @nn.compact
     def __call__(self, x):
         h = nn.Dense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        # exact erf gelu: diffusers GEGLU uses F.gelu (not the tanh approx)
-        return h * nn.gelu(gate, approximate=False)
+        return h * nn.gelu(gate, approximate=self.fast_gelu)
 
 
 class FeedForward(nn.Module):
@@ -191,11 +201,13 @@ class FeedForward(nn.Module):
     dim: int
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
+    fast_gelu: bool = False
 
     @nn.compact
     def __call__(self, x):
         inner = self.dim * self.mult
-        x = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
+        x = GEGLU(inner, dtype=self.dtype, fast_gelu=self.fast_gelu,
+                  name="net_0")(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
         return x
 

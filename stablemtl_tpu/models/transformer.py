@@ -39,9 +39,29 @@ TAP_POINTS = (
 )
 
 
+class _Kernel(nn.Module):
+    """Bias-free Dense kernel holder: same param path/init as
+    nn.Dense(use_bias=False) ({name}/kernel, lecun_normal) but returns the
+    kernel itself so callers can fuse matmuls."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (in_features, self.features))
+
+
 class Attention(nn.Module):
     """Multi-head attention (self or cross). Param names mirror diffusers
-    (`to_q`/`to_k`/`to_v`/`to_out_0`) so checkpoint conversion is mechanical."""
+    (`to_q`/`to_k`/`to_v`/`to_out_0`) so checkpoint conversion is mechanical.
+
+    Self-attention (context is None) computes Q,K,V as ONE fused
+    [C, 3*inner] matmul — identical math per output column (each column
+    contracts the same input row with the same kernel column), but x is
+    read from HBM once instead of three times and the MXU sees one larger
+    matmul. The params stay three separate kernels for checkpoint parity;
+    the concat is bytes-cheap next to the matmul."""
 
     heads: int
     dim_head: int
@@ -50,11 +70,22 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
-        context = x if context is None else context
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        if context is None:
+            C = x.shape[-1]
+            wq = _Kernel(inner, name="to_q")(C)
+            wk = _Kernel(inner, name="to_k")(C)
+            wv = _Kernel(inner, name="to_v")(C)
+            w = jnp.concatenate([wq, wk, wv], axis=-1).astype(self.dtype)
+            qkv = x @ w
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_q")(x)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_k")(context)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_v")(context)
 
         B, N, _ = q.shape
         L = k.shape[1]
@@ -82,7 +113,7 @@ def _ln_bank(x, scale, bias, eps=1e-5):
     return (y * scale + bias).astype(x.dtype)
 
 
-def _kv_project(p, feats, idx, nm, dtype):
+def _kv_project(p, feats, idx, nm, dtype, fast_gelu: bool = False):
     """K or V task projection LN_t -> MLP(C -> C/2 -> C) from raw bank
     params `p` (a TaskAttentionBank param dict), for tasks `idx` ([T] int
     or None = all), applied to feats [T, B, N, C]. Pure function so the
@@ -101,7 +132,7 @@ def _kv_project(p, feats, idx, nm, dtype):
     b2 = g(p[f"task_to_{nm}_fc2_bias"]).astype(dtype)
     x = jnp.einsum("tbnc,tcd->tbnd", x, w1,
                    preferred_element_type=jnp.float32).astype(dtype)
-    x = nn.gelu(x + b1[:, None, None, :], approximate=False)
+    x = nn.gelu(x + b1[:, None, None, :], approximate=fast_gelu)
     x = jnp.einsum("tbnc,tcd->tbnd", x, w2,
                    preferred_element_type=jnp.float32).astype(dtype)
     return x + b2[:, None, None, :]
@@ -123,6 +154,7 @@ class TaskAttentionBank(nn.Module):
     attn_mask_ratio: float = 0.0
     attn_mask_type: str = "attn_prob"
     dtype: jnp.dtype = jnp.float32
+    fast_math: bool = False    # tanh-approx gelu in the K/V/Q MLPs
 
     @nn.compact
     def __call__(self, hidden, task_feats, main_idx, aux_idx,
@@ -170,7 +202,8 @@ class TaskAttentionBank(nn.Module):
                      f"task_to_{nm}_fc1_bias": b1,
                      f"task_to_{nm}_fc2_kernel": w2,
                      f"task_to_{nm}_fc2_bias": b2}
-                outs[nm] = _kv_project(p, task_feats, aux_idx, nm, self.dtype)
+                outs[nm] = _kv_project(p, task_feats, aux_idx, nm, self.dtype,
+                                       fast_gelu=self.fast_math)
 
         # ---- Q projector: LN_m -> MLPv2(C -> 640 x3 -> C) for main task ---
         q_ln_s = _bank(self, "task_norm_q_scale", (T, C), ones)
@@ -186,7 +219,7 @@ class TaskAttentionBank(nn.Module):
             q = jnp.einsum("bnc,cd->bnd", q, wg,
                            preferred_element_type=jnp.float32).astype(self.dtype) + bg
             if li < len(dims) - 2:
-                q = nn.gelu(q, approximate=False)
+                q = nn.gelu(q, approximate=self.fast_math)
 
         # ---- attention over the task axis (per pixel) ---------------------
         B, N, _ = q.shape
@@ -273,16 +306,20 @@ class BasicTransformerBlock(nn.Module):
     attn_mask_ratio: float = 0.0
     attn_mask_type: str = "attn_prob"
     dtype: jnp.dtype = jnp.float32
+    # bf16 fast path: LayerNorm outputs in compute dtype (statistics stay
+    # f32 inside flax) + tanh-approx gelu. Default off for bit-parity.
+    fast_math: bool = False
 
     @nn.compact
     def __call__(self, x, context, task_feats=None, main_idx=None,
                  aux_idx=None, tap: Optional[str] = None, train: bool = False,
                  task_kv=None, task_key_bias=None):
         tap_feat = None
+        ndt = self.dtype if self.fast_math else jnp.float32
         if tap == "beforeSelfAttn":
             tap_feat = x
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        h = nn.LayerNorm(dtype=ndt, name="norm1")(x).astype(self.dtype)
         attn_out = Attention(self.heads, self.dim_head, self.dim,
                              dtype=self.dtype, name="attn1")(h)
         if self.use_task_attention and (task_feats is not None
@@ -291,7 +328,7 @@ class BasicTransformerBlock(nn.Module):
                 dim=self.dim, n_tasks=self.n_tasks, n_attns=self.n_attns,
                 attn_mask_ratio=self.attn_mask_ratio,
                 attn_mask_type=self.attn_mask_type,
-                dtype=self.dtype, name="task_attn",
+                dtype=self.dtype, fast_math=self.fast_math, name="task_attn",
             )(attn_out, task_feats, main_idx, aux_idx, train=train,
               task_kv=task_kv, task_key_bias=task_key_bias)
         x = x + attn_out
@@ -300,7 +337,7 @@ class BasicTransformerBlock(nn.Module):
         elif tap == "afterSelfAttn_main":
             tap_feat = x
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = nn.LayerNorm(dtype=ndt, name="norm2")(x).astype(self.dtype)
         xattn_out = Attention(self.heads, self.dim_head, self.dim,
                               dtype=self.dtype, name="attn2")(h, context)
         x = x + xattn_out
@@ -309,8 +346,9 @@ class BasicTransformerBlock(nn.Module):
         elif tap == "afterXAttn_main":
             tap_feat = x
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
-        ff_out = FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        h = nn.LayerNorm(dtype=ndt, name="norm3")(x).astype(self.dtype)
+        ff_out = FeedForward(self.dim, dtype=self.dtype,
+                             fast_gelu=self.fast_math, name="ff")(h)
         x = x + ff_out
         if tap == "afterFF_residual":
             tap_feat = ff_out
@@ -335,6 +373,7 @@ class Transformer2D(nn.Module):
     attn_mask_ratio: float = 0.0
     attn_mask_type: str = "attn_prob"
     dtype: jnp.dtype = jnp.float32
+    fast_math: bool = False
 
     @nn.compact
     def __call__(self, x, context, task_feats=None, main_idx=None,
@@ -343,7 +382,8 @@ class Transformer2D(nn.Module):
         B, H, W, C = x.shape
         inner = self.heads * self.dim_head
         residual = x
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        ndt = self.dtype if self.fast_math else jnp.float32
+        h = nn.GroupNorm(32, epsilon=1e-6, dtype=ndt, name="norm")(x)
         h = h.reshape(B, H * W, C).astype(self.dtype)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
         h, tap_feat = BasicTransformerBlock(
@@ -351,6 +391,7 @@ class Transformer2D(nn.Module):
             n_tasks=self.n_tasks, use_task_attention=self.use_task_attention,
             n_attns=self.n_attns, attn_mask_ratio=self.attn_mask_ratio,
             attn_mask_type=self.attn_mask_type, dtype=self.dtype,
+            fast_math=self.fast_math,
             name="transformer_blocks_0",
         )(h, context, task_feats, main_idx, aux_idx, tap=tap, train=train,
           task_kv=task_kv, task_key_bias=task_key_bias)

@@ -53,6 +53,12 @@ class UNetConfig:
     # compute
     dtype: str = "float32"
     remat: bool = False
+    # bf16 fast path: norms emit compute dtype (statistics stay f32) and
+    # gelu uses the tanh approximation (error < bf16 rounding). Off by
+    # default — parity tests and f32 training are bit-identical to the
+    # reference semantics; inference presets enable it (measured on v5e,
+    # BENCH_NOTES.md round 3).
+    fast_math: bool = False
 
     @property
     def jnp_dtype(self):
@@ -101,7 +107,8 @@ class UNet2DConditionModel(nn.Module):
             heads=heads, dim_head=dim_head,
             n_tasks=cfg.n_tasks, use_task_attention=use_task,
             n_attns=cfg.n_attns, attn_mask_ratio=cfg.attn_mask_ratio,
-            attn_mask_type=cfg.attn_mask_type, dtype=cfg.jnp_dtype, name=name,
+            attn_mask_type=cfg.attn_mask_type, dtype=cfg.jnp_dtype,
+            fast_math=cfg.fast_math, name=name,
         )
 
     @nn.compact
@@ -155,11 +162,12 @@ class UNet2DConditionModel(nn.Module):
             attn_layer += 1
             return h
 
+        ndt = dtype if cfg.fast_math else jnp.float32
         resblock = partial(ResnetBlock, groups=cfg.norm_groups,
-                           eps=cfg.norm_eps, dtype=dtype)
+                           eps=cfg.norm_eps, dtype=dtype, norm_dtype=ndt)
         if cfg.remat:
             resblock = partial(nn.remat(ResnetBlock), groups=cfg.norm_groups,
-                               eps=cfg.norm_eps, dtype=dtype)
+                               eps=cfg.norm_eps, dtype=dtype, norm_dtype=ndt)
 
         # ---- in ------------------------------------------------------------
         h = nn.Conv(ch[0], (3, 3), padding=((1, 1), (1, 1)), dtype=dtype,
@@ -219,7 +227,7 @@ class UNet2DConditionModel(nn.Module):
 
         # ---- out -----------------------------------------------------------
         h = nn.GroupNorm(cfg.norm_groups, epsilon=cfg.norm_eps,
-                         dtype=jnp.float32, name="conv_norm_out")(h)
+                         dtype=ndt, name="conv_norm_out")(h)
         h = nn.silu(h).astype(dtype)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=dtype, name="conv_out")(h)
@@ -285,8 +293,10 @@ def task_kv_tables(config: UNetConfig, unet_params, taps_all):
             tables.append(None)
             continue
         bank = p[name]["transformer_blocks_0"]["task_attn"]
-        k = _kv_project(bank, taps_all[li], None, "k", dtype)
-        v = _kv_project(bank, taps_all[li], None, "v", dtype)
+        k = _kv_project(bank, taps_all[li], None, "k", dtype,
+                        fast_gelu=config.fast_math)
+        v = _kv_project(bank, taps_all[li], None, "v", dtype,
+                        fast_gelu=config.fast_math)
         tables.append((k, v))
     return tables
 

@@ -32,6 +32,8 @@ class VAEConfig:
     norm_groups: int = 32
     scaling_factor: float = 0.18215
     dtype: str = "float32"
+    # bf16 fast path: GroupNorms emit compute dtype (stats stay f32).
+    fast_math: bool = False
 
     @property
     def jnp_dtype(self):
@@ -50,14 +52,15 @@ class VAEAttention(nn.Module):
     channels: int
     norm_groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         from ..ops.attention import dot_product_attention
 
         B, H, W, C = x.shape
-        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=jnp.float32,
-                         name="group_norm")(x)
+        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6,
+                         dtype=self.norm_dtype, name="group_norm")(x)
         h = h.reshape(B, H * W, C).astype(self.dtype)
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
@@ -77,6 +80,7 @@ class Encoder(nn.Module):
     def __call__(self, x):
         cfg = self.config
         dtype = cfg.jnp_dtype
+        ndt = dtype if cfg.fast_math else jnp.float32
         ch = cfg.block_out_channels
         x = x.astype(dtype)
 
@@ -85,6 +89,7 @@ class Encoder(nn.Module):
         for i in range(len(ch)):
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock(out_channels=ch[i], use_temb=False,
+                                norm_dtype=ndt,
                                 groups=cfg.norm_groups, eps=1e-6, dtype=dtype,
                                 name=f"down_blocks_{i}_resnets_{j}")(h)
             if i < len(ch) - 1:
@@ -93,16 +98,17 @@ class Encoder(nn.Module):
                             padding=((0, 1), (0, 1)), dtype=dtype,
                             name=f"down_blocks_{i}_downsamplers_0_conv")(h)
 
-        h = ResnetBlock(out_channels=ch[-1], use_temb=False,
+        h = ResnetBlock(out_channels=ch[-1], use_temb=False, norm_dtype=ndt,
                         groups=cfg.norm_groups, eps=1e-6, dtype=dtype,
                         name="mid_block_resnets_0")(h)
         h = VAEAttention(ch[-1], cfg.norm_groups, dtype=dtype,
+                         norm_dtype=ndt,
                          name="mid_block_attentions_0")(h)
-        h = ResnetBlock(out_channels=ch[-1], use_temb=False,
+        h = ResnetBlock(out_channels=ch[-1], use_temb=False, norm_dtype=ndt,
                         groups=cfg.norm_groups, eps=1e-6, dtype=dtype,
                         name="mid_block_resnets_1")(h)
 
-        h = nn.GroupNorm(cfg.norm_groups, epsilon=1e-6, dtype=jnp.float32,
+        h = nn.GroupNorm(cfg.norm_groups, epsilon=1e-6, dtype=ndt,
                          name="conv_norm_out")(h)
         h = nn.silu(h).astype(dtype)
         h = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=((1, 1), (1, 1)),
@@ -117,23 +123,26 @@ class Decoder(nn.Module):
     def __call__(self, z):
         cfg = self.config
         dtype = cfg.jnp_dtype
+        ndt = dtype if cfg.fast_math else jnp.float32
         rev_ch = list(reversed(cfg.block_out_channels))
         h = z.astype(dtype)
 
         h = nn.Conv(rev_ch[0], (3, 3), padding=((1, 1), (1, 1)), dtype=dtype,
                     name="conv_in")(h)
-        h = ResnetBlock(out_channels=rev_ch[0], use_temb=False,
+        h = ResnetBlock(out_channels=rev_ch[0], use_temb=False, norm_dtype=ndt,
                         groups=cfg.norm_groups, eps=1e-6, dtype=dtype,
                         name="mid_block_resnets_0")(h)
         h = VAEAttention(rev_ch[0], cfg.norm_groups, dtype=dtype,
+                         norm_dtype=ndt,
                          name="mid_block_attentions_0")(h)
-        h = ResnetBlock(out_channels=rev_ch[0], use_temb=False,
+        h = ResnetBlock(out_channels=rev_ch[0], use_temb=False, norm_dtype=ndt,
                         groups=cfg.norm_groups, eps=1e-6, dtype=dtype,
                         name="mid_block_resnets_1")(h)
 
         for i in range(len(rev_ch)):
             for j in range(cfg.layers_per_block + 1):
                 h = ResnetBlock(out_channels=rev_ch[i], use_temb=False,
+                                norm_dtype=ndt,
                                 groups=cfg.norm_groups, eps=1e-6, dtype=dtype,
                                 name=f"up_blocks_{i}_resnets_{j}")(h)
             if i < len(rev_ch) - 1:
@@ -142,7 +151,7 @@ class Decoder(nn.Module):
                 h = UpsampleConv(rev_ch[i], dtype=dtype,
                                  name=f"up_blocks_{i}_upsamplers_0_conv")(h)
 
-        h = nn.GroupNorm(cfg.norm_groups, epsilon=1e-6, dtype=jnp.float32,
+        h = nn.GroupNorm(cfg.norm_groups, epsilon=1e-6, dtype=ndt,
                          name="conv_norm_out")(h)
         h = nn.silu(h).astype(dtype)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),

@@ -63,14 +63,26 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch dict on the mesh: arrays with a leading batch axis
-    are sharded over `data`; scalars (e.g. task_idx) are replicated."""
+    are sharded over `data`; scalars (e.g. task_idx) are replicated.
+
+    A non-scalar whose leading dim is not divisible by the data-axis size is
+    an error (it would silently replicate and lose data parallelism — an 8x
+    slowdown that looks like working code)."""
     data = batch_sharding(mesh)
     rep = replicated_sharding(mesh)
+    n_data = mesh.shape[DATA_AXIS]
 
-    def place(x):
+    def place(path, x):
         x = np.asarray(x)
-        sh = data if x.ndim >= 1 and x.shape[0] % mesh.shape[DATA_AXIS] == 0 \
-            and x.shape[0] > 0 else rep
-        return jax.device_put(x, sh)
+        if x.ndim == 0:
+            return jax.device_put(x, rep)
+        if x.shape[0] == 0 or x.shape[0] % n_data != 0:
+            raise ValueError(
+                f"shard_batch: leaf {jax.tree_util.keystr(path)} has leading "
+                f"dim {x.shape[0]}, not divisible by the mesh data axis "
+                f"({n_data}); this would silently replicate instead of "
+                f"sharding. Fix the batch size (or pass a 0-d scalar for "
+                f"per-batch values like task_idx).")
+        return jax.device_put(x, data)
 
-    return jax.tree_util.tree_map(place, batch)
+    return jax.tree_util.tree_map_with_path(place, batch)

@@ -33,11 +33,22 @@ from .tensor_parallel import (
 )
 
 
-def _zero1_sharding_for(x, mesh: Mesh) -> NamedSharding:
+# Leaves below this many elements are replicated instead of ZeRO-1 sharded:
+# sharding a (320,)-bias moment over 8 chips saves ~KB of HBM but costs an
+# all-gather EVERY step — across the ~700 leaves of the UNet the per-leaf
+# collectives dominate step latency (measured: the virtual-8-device dryrun
+# step dropped ~4x when small leaves stopped sharding). 64k elements = 256KB
+# f32, the point where the memory saved starts to matter on a 16G chip.
+ZERO1_MIN_SIZE = 65536
+
+
+def _zero1_sharding_for(x, mesh: Mesh, min_size: int = 0) -> NamedSharding:
     """Shard the largest axis divisible by the data-axis size; else
-    replicate."""
+    replicate. Leaves with fewer than `min_size` elements replicate."""
     n = mesh.shape[DATA_AXIS]
     shape = getattr(x, "shape", ())
+    if int(np.prod(shape)) < min_size:
+        return replicated_sharding(mesh)
     best_axis, best_size = None, 0
     for i, d in enumerate(shape):
         if d % n == 0 and d > best_size:
@@ -55,10 +66,11 @@ def _param_sharding(path, x, mesh: Mesh, tp: bool) -> NamedSharding:
     return NamedSharding(mesh, tp_spec(path_names(path), x.shape, mesh))
 
 
-def _opt_sharding(path, x, mesh: Mesh, zero1: bool, tp: bool):
+def _opt_sharding(path, x, mesh: Mesh, zero1: bool, tp: bool,
+                  zero1_min_size: int = ZERO1_MIN_SIZE):
     """Optimizer-state leaf sharding: mirror the TP spec of the parameter
     the moment tracks (path suffix after the last 'params'), else ZeRO-1
-    over `data`, else replicated."""
+    over `data` (leaves >= zero1_min_size elements only), else replicated."""
     if tp:
         tail = opt_leaf_param_names(path)
         if tail is not None:
@@ -66,22 +78,27 @@ def _opt_sharding(path, x, mesh: Mesh, zero1: bool, tp: bool):
             if spec != jax.sharding.PartitionSpec():
                 return NamedSharding(mesh, spec)
     if zero1:
-        return _zero1_sharding_for(x, mesh)
+        return _zero1_sharding_for(x, mesh, min_size=zero1_min_size)
     return replicated_sharding(mesh)
 
 
 def shard_train_state(state: TrainState, mesh: Mesh,
-                      zero1: bool = False, tp: bool = False) -> TrainState:
+                      zero1: bool = False, tp: bool = False,
+                      zero1_min_size: int = ZERO1_MIN_SIZE) -> TrainState:
     """Place a train state on the mesh: params replicated (or TP-sharded
-    over `model`), opt_state replicated / ZeRO-1 / mirroring TP."""
+    over `model`), opt_state replicated / ZeRO-1 / mirroring TP.
+
+    One batched device_put per tree (not per leaf): per-leaf puts each pay
+    a full dispatch round-trip, which is seconds-per-hundred-leaves on slow
+    hosts and serializes transfers the runtime could overlap."""
     rep = replicated_sharding(mesh)
-    params = jax.tree_util.tree_map_with_path(
-        lambda p, x: jax.device_put(x, _param_sharding(p, x, mesh, tp)),
-        state.params)
-    opt_state = jax.tree_util.tree_map_with_path(
-        lambda p, x: jax.device_put(
-            x, _opt_sharding(p, x, mesh, zero1, tp)),
+    params_s = jax.tree_util.tree_map_with_path(
+        lambda p, x: _param_sharding(p, x, mesh, tp), state.params)
+    opt_s = jax.tree_util.tree_map_with_path(
+        lambda p, x: _opt_sharding(p, x, mesh, zero1, tp, zero1_min_size),
         state.opt_state)
+    params = jax.device_put(state.params, params_s)
+    opt_state = jax.device_put(state.opt_state, opt_s)
     return state.replace(step=jax.device_put(state.step, rep),
                          params=params, opt_state=opt_state)
 
@@ -89,7 +106,8 @@ def shard_train_state(state: TrainState, mesh: Mesh,
 def make_sharded_train_step(pipeline: StableMTLPipeline, mesh: Mesh,
                             base_seed: int = 0, zero1: bool = False,
                             tp: bool = False, donate: bool = True,
-                            compute_grad_stats: bool = False) -> Callable:
+                            compute_grad_stats: bool = False,
+                            zero1_min_size: int = ZERO1_MIN_SIZE) -> Callable:
     """Jitted step with explicit shardings over `mesh`.
 
     Returns fn(state, batch) like make_train_step; `state` must have been
@@ -110,7 +128,8 @@ def make_sharded_train_step(pipeline: StableMTLPipeline, mesh: Mesh,
         params_s = jax.tree_util.tree_map_with_path(
             lambda p, x: _param_sharding(p, x, mesh, tp), state.params)
         opt_s = jax.tree_util.tree_map_with_path(
-            lambda p, x: _opt_sharding(p, x, mesh, zero1, tp),
+            lambda p, x: _opt_sharding(p, x, mesh, zero1, tp,
+                                       zero1_min_size),
             state.opt_state)
         return TrainState(step=rep, params=params_s, opt_state=opt_s,
                           tx=state.tx)

@@ -8,11 +8,13 @@ disk cache instead — standard practice for production TPU training loops.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 
 import jax
 
-DEFAULT_CACHE_DIR = os.environ.get(
+DEFAULT_CACHE_ROOT = os.environ.get(
     "STABLEMTL_JAX_CACHE",
     os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
@@ -20,14 +22,42 @@ DEFAULT_CACHE_DIR = os.environ.get(
 _enabled = False
 
 
+def host_fingerprint() -> str:
+    """Stable fingerprint of this host's CPU ISA/features.
+
+    CPU AOT executables embed machine-feature assumptions ("Target machine
+    feature +prefer-no-gather is not supported ... could lead to execution
+    errors such as SIGILL"); loading an entry compiled on a different
+    machine wastes a load-fail per compile at best and executes wrong-ISA
+    code at worst. Keying the cache directory by (arch, cpu flags) makes
+    foreign entries invisible instead of merely rejected."""
+    bits = [platform.machine(), jax.__version__]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features", "model name")):
+                    bits.append(line.strip())
+                    break  # first core is representative
+    except OSError:
+        bits.append(platform.processor())
+    return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
+
+
+def cache_dir_for_host(root: str | None = None) -> str:
+    """Per-(platform, host-ISA) cache subdirectory under the cache root."""
+    return os.path.join(root or DEFAULT_CACHE_ROOT,
+                        f"{platform.machine()}-{host_fingerprint()}")
+
+
 def enable_persistent_cache(cache_dir: str | None = None) -> str:
     """Idempotently enable the on-disk compilation cache. Returns the dir.
 
-    Also honors the JAX_PLATFORMS env var, which this environment's
-    sitecustomize otherwise overrides via jax.config (so e.g.
-    JAX_PLATFORMS=cpu works for CLI entry points too)."""
+    The directory is keyed by host CPU fingerprint (see host_fingerprint)
+    unless an explicit cache_dir is given. Also honors the JAX_PLATFORMS
+    env var, which this environment's sitecustomize otherwise overrides via
+    jax.config (so e.g. JAX_PLATFORMS=cpu works for CLI entry points too)."""
     global _enabled
-    cache_dir = cache_dir or DEFAULT_CACHE_DIR
+    cache_dir = cache_dir or cache_dir_for_host()
     if os.environ.get("JAX_PLATFORMS"):
         try:
             jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])

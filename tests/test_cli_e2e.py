@@ -123,3 +123,56 @@ def test_train_cli_resume(data_root, cli_config, tmp_path):
                            OptimizerConfig(use_schedule=False)))
     assert int(state.step) == 2  # 1 micro-step per effective iter here
     assert meta1.get("finished") is True
+
+def test_train_cli_interrupted_resume_bit_equal(data_root, cli_config,
+                                                tmp_path):
+    """Replayable-resume contract on the 8-device virtual mesh (reference
+    stablemtl_trainer.py:1095-1205 checkpointed seed lists; here the data
+    schedule and all RNG replay from the step counter): 3 effective iters
+    straight vs 1 iter + interrupt + resume to 3 must give BIT-EQUAL
+    params. Exercises the ZeRO-1 sharded CLI step end-to-end (VERDICT
+    round-2 item 7)."""
+    import jax
+
+    from stablemtl_tpu.checkpoint import CheckpointManager
+    from stablemtl_tpu.cli.train import main as train_main
+    from stablemtl_tpu.config import recursive_load_config
+    from stablemtl_tpu.factory import build_pipeline
+    from stablemtl_tpu.train_state import (
+        OptimizerConfig,
+        create_train_state,
+    )
+
+    out_a = tmp_path / "straight"
+    train_main(["--config", str(cli_config), "--max_iter", "3",
+                "--base_data_dir", str(data_root),
+                "--output_dir", str(out_a)])
+
+    out_b = tmp_path / "interrupted"
+    train_main(["--config", str(cli_config), "--max_iter", "1",
+                "--base_data_dir", str(data_root),
+                "--output_dir", str(out_b)])
+    # resume from the step-1 checkpoint and continue to 3
+    train_main(["--config", str(cli_config), "--max_iter", "3",
+                "--base_data_dir", str(data_root),
+                "--output_dir", str(out_b)])
+
+    cfg = recursive_load_config(str(cli_config), root=REPO)
+
+    def params_of(run_dir):
+        pipe = build_pipeline(cfg)
+        st = CheckpointManager(str(run_dir / "checkpoint")) \
+            .restore_params_only(create_train_state(
+                pipe.unet_params, OptimizerConfig(use_schedule=False)))
+        return int(st.step), jax.device_get(st.params)
+
+    step_a, pa = params_of(out_a)
+    step_b, pb = params_of(out_b)
+    assert step_a == step_b == 3
+    flat_a = jax.tree_util.tree_leaves_with_path(pa)
+    flat_b = jax.tree_util.tree_leaves_with_path(pb)
+    assert len(flat_a) == len(flat_b)
+    for (ka, va), (kb, vb) in zip(flat_a, flat_b):
+        assert ka == kb
+        np.testing.assert_array_equal(
+            va, vb, err_msg=f"params diverge at {jax.tree_util.keystr(ka)}")

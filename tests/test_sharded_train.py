@@ -67,8 +67,9 @@ def test_sharded_step_matches_unsharded():
     step_ref = make_train_step(pipe, donate=False)
 
     state_sh = create_train_state(pipe.unet_params, cfg)
-    state_sh = shard_train_state(state_sh, mesh, zero1=True)
-    step_sh = make_sharded_train_step(pipe, mesh, zero1=True, donate=False)
+    state_sh = shard_train_state(state_sh, mesh, zero1=True, zero1_min_size=0)
+    step_sh = make_sharded_train_step(pipe, mesh, zero1=True, donate=False,
+                                   zero1_min_size=0)
 
     b = _batch(seed=0)
     state_ref, m_ref = step_ref(state_ref, b)
@@ -139,9 +140,10 @@ def test_sharded_checkpoint_resume_equivalence(tmp_path):
 
     def fresh_state():
         s = create_train_state(pipe.unet_params, cfg)
-        return shard_train_state(s, mesh, zero1=True)
+        return shard_train_state(s, mesh, zero1=True, zero1_min_size=0)
 
     step = make_sharded_train_step(pipe, mesh, base_seed=0, zero1=True,
+                                   zero1_min_size=0,
                                    donate=False)
 
     # uninterrupted run: batches are a pure function of the step index
@@ -199,8 +201,10 @@ def test_tensor_parallel_step_matches_unsharded():
     step_ref = make_train_step(pipe, donate=False)
 
     state_tp = create_train_state(pipe.unet_params, cfg)
-    state_tp = shard_train_state(state_tp, mesh, zero1=True, tp=True)
+    state_tp = shard_train_state(state_tp, mesh, zero1=True, tp=True,
+                                 zero1_min_size=0)
     step_tp = make_sharded_train_step(pipe, mesh, zero1=True, tp=True,
+                                      zero1_min_size=0,
                                       donate=False)
 
     # a to_q kernel is physically sharded over `model`
@@ -274,3 +278,28 @@ def test_tp_spec_policy_unit():
     path = (K("0"), K("mu"), K("params"), K("attn1"), K("to_q"), K("kernel"))
     assert opt_leaf_param_names(path) == ("attn1", "to_q", "kernel")
     assert opt_leaf_param_names((K("count"),)) is None
+
+
+def test_shard_batch_rejects_indivisible_leading_dim():
+    import pytest
+
+    mesh = make_mesh()  # 8 data devices
+    bad = _batch(B=5)  # 5 % 8 != 0 — must fail loudly, not replicate
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_batch(bad, mesh)
+    # scalars (task_idx) and divisible batches still place fine
+    out = shard_batch(_batch(B=8), mesh)
+    assert out["task_idx"].sharding.is_fully_replicated
+    assert not out["rgb_norm"].sharding.is_fully_replicated
+
+
+def test_zero1_min_size_replicates_small_leaves():
+    """Production ZeRO-1 policy: tiny moments replicate (an all-gather per
+    step would cost more than the memory saved); big ones shard."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh()
+    small = _zero1_sharding_for(jnp.zeros((16, 16)), mesh, min_size=65536)
+    assert small.spec in (P(), P(None, None))
+    big = _zero1_sharding_for(jnp.zeros((512, 512)), mesh, min_size=65536)
+    assert big.spec == P("data", None)

@@ -112,6 +112,18 @@ def fixture_parity():
     except ImportError:
         out["clip_text_vs_transformers_max_abs_diff"] = None
 
+    # composed full-model parity (VERDICT round-2 #1): whole tiny UNet
+    # (skip ordering, t-embedding, 16-layer tap order) + whole tiny VAE
+    # against torch twins (tests/test_full_model_parity.py, also in CI)
+    import tests.test_full_model_parity as tfp
+
+    final, tap_diffs = tfp.full_unet_parity()
+    out["full_unet_max_abs_diff"] = final
+    out["full_unet_tap_max_abs_diff"] = max(tap_diffs)
+    enc_d, dec_d, rt_d = tfp.vae_parity()
+    out["vae_encode_max_abs_diff"] = enc_d
+    out["vae_roundtrip_max_abs_diff"] = rt_d
+
     out["pass"] = all(v is None or v < 1e-4 for v in out.values())
     print(json.dumps(out, indent=2))
     return out
