@@ -225,3 +225,66 @@ def test_mid_process_scene_if_exr_available(tmp_path):
     for suffix in ("", "_albedo", "_shading"):
         img = cv2.imread(str(tmp_path / "out" / f"scene_000{suffix}.jpg"))
         assert img is not None and img.shape == (8, 10, 3)
+
+
+# ---------------------------------------------------------------------------
+# vkitti per-task filename lists
+# ---------------------------------------------------------------------------
+
+def test_vkitti_derive_task_paths():
+    from stablemtl_tpu.preprocess.vkitti import derive_task_paths
+
+    p = derive_task_paths(
+        "Scene01/clone/frames/rgb/Camera_0/rgb_00001.jpg",
+        "Scene01/clone/frames/depth/Camera_0/depth_00001.png")
+    # the reference's exact rewrite rules (list_filenames.py:24-30)
+    assert p["rgb"] == "original/Scene01/clone/frames/rgb/Camera_0/rgb_00001.jpg"
+    assert p["depth"] == "original/Scene01/clone/frames/depth/Camera_0/depth_00001.png"
+    assert p["semantic"] == ("original/Scene01/clone/frames/classSegmentation/"
+                             "Camera_0/classgt_00001.png")
+    assert p["normal"] == ("normal_estimated/Scene01/clone/frames/normal/"
+                           "Camera_0/normal_00001.npy")
+    assert p["optical_flow"] == ("original/Scene01/clone/frames/forwardFlow/"
+                                 "Camera_0/flow_00001.png")
+
+
+def test_vkitti_list_filenames_existence_filter(tmp_path):
+    from stablemtl_tpu.preprocess.vkitti import (derive_task_paths,
+                                                 list_filenames)
+
+    rows = [("Scene01/clone/frames/rgb/Camera_0/rgb_00001.jpg",
+             "Scene01/clone/frames/depth/Camera_0/depth_00001.png"),
+            ("Scene01/clone/frames/rgb/Camera_0/rgb_00002.jpg",
+             "Scene01/clone/frames/depth/Camera_0/depth_00002.png")]
+    split = tmp_path / "vkitti_val.txt"
+    split.write_text("".join(f"{a} {b}\n" for a, b in rows))
+    ds = tmp_path / "ds"
+
+    def touch(rel):
+        p = ds / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"x")
+
+    # rgb for both rows; depth+semantic only for row 0; flow only for row 1
+    for a, b in rows:
+        touch(derive_task_paths(a, b)["rgb"])
+    p0 = derive_task_paths(*rows[0])
+    p1 = derive_task_paths(*rows[1])
+    touch(p0["depth"])
+    touch(p0["semantic"])
+    touch(p1["optical_flow"])
+
+    counts = list_filenames(str(split), str(ds), str(tmp_path / "out"),
+                            "val")
+    assert counts == {"semantic": 1, "normal": 0, "depth": 1,
+                      "optical_flow": 1}
+    got = (tmp_path / "out" / "vkitti_val_depth.txt").read_text()
+    assert got == p0["depth"] + "\n"
+    assert (tmp_path / "out" / "vkitti_val_normal.txt").read_text() == ""
+
+    # a missing rgb is a hard error (list_filenames.py:33-34)
+    split2 = tmp_path / "vkitti_val2.txt"
+    split2.write_text("no/such/rgb_0.jpg no/such/depth_0.png\n")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="Not found"):
+        list_filenames(str(split2), str(ds), str(tmp_path / "out2"), "val2")
