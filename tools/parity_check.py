@@ -136,6 +136,9 @@ def main():
     ap.add_argument("--image", default=None,
                     help="fixture image (default: deterministic gradient)")
     ap.add_argument("--multi_stream", action="store_true")
+    ap.add_argument("--res", type=int, default=256,
+                    help="fixture probe resolution (use 64 on the 1-core "
+                         "host to keep the full-size CPU forward tractable)")
     ap.add_argument("--fixture", action="store_true",
                     help="run the torch-twin activation-parity probes "
                          "(no checkpoints needed) and print diff numbers")
