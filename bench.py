@@ -31,7 +31,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 
 if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # keep the env-selected platform primary but register cpu too: the
+    # axon backend exposes no HLO cost model, so the MFU block lowers the
+    # step for the in-process cpu backend (which must exist to be usable)
+    _plats = os.environ["JAX_PLATFORMS"]
+    if "cpu" not in _plats.split(","):
+        _plats += ",cpu"
+    jax.config.update("jax_platforms", _plats)
 
 from stablemtl_tpu.utils.compilation_cache import enable_persistent_cache
 
@@ -75,7 +81,13 @@ def main():
     # data dependency so they cannot overlap or be elided, (b) force
     # completion by fetching a SCALAR, and (c) measure the per-iteration
     # slope between two chain lengths to cancel the fixed fetch latency.
-    bundle = _params_bundle(pipe)
+    #
+    # The bundle MUST be device-resident before timing: _build_pipeline
+    # initializes params host-side (numpy), and numpy args are re-shipped
+    # on EVERY jit call — ~5 GB through the low-bandwidth tunnel per timed
+    # call, whose run-to-run variance corrupts the two-point slope (this
+    # exact failure measured 4.07 -> 0.66 img/s of pure noise, round 3).
+    bundle = jax.device_put(_params_bundle(pipe))
 
     @jax.jit
     def chain(b, rgb, rgb_next, n):
@@ -125,12 +137,19 @@ def main():
     # just the estimated-baseline ratio.
     mfu = achieved_tflops = None
     try:
-        lowered = jax.jit(
-            lambda b, r, rn: _rebind(pipe, b).infer_all_tasks(r, rn)
-        ).lower(bundle, rgb, rgb)
-        ca = lowered.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops = float((ca or {}).get("flops", 0.0))
+        def _flops_of(lowered):
+            ca = lowered.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            return float((ca or {}).get("flops", 0.0))
+
+        step_fn = lambda b, r, rn: _rebind(pipe, b).infer_all_tasks(r, rn)
+        flops = _flops_of(jax.jit(step_fn).lower(bundle, rgb, rgb))
+        if flops <= 0:
+            # the remote (axon) backend exposes no HLO cost model; the
+            # pre-optimization flop count is backend-agnostic, so lower
+            # the same step for the in-process CPU backend and use that
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                flops = _flops_of(jax.jit(step_fn).lower(bundle, rgb, rgb))
         if flops > 0:
             achieved_tflops = flops / per_iter / 1e12
             if on_tpu:

@@ -72,13 +72,20 @@ class Attention(nn.Module):
     def __call__(self, x, context=None):
         inner = self.heads * self.dim_head
         if context is None:
+            import os
+
             C = x.shape[-1]
             wq = _Kernel(inner, name="to_q")(C)
             wk = _Kernel(inner, name="to_k")(C)
             wv = _Kernel(inner, name="to_v")(C)
-            w = jnp.concatenate([wq, wk, wv], axis=-1).astype(self.dtype)
-            qkv = x @ w
-            q, k, v = jnp.split(qkv, 3, axis=-1)
+            if os.environ.get("STABLEMTL_NO_FUSED_QKV"):  # A/B escape hatch
+                q = x @ wq.astype(self.dtype)
+                k = x @ wk.astype(self.dtype)
+                v = x @ wv.astype(self.dtype)
+            else:
+                w = jnp.concatenate([wq, wk, wv], axis=-1).astype(self.dtype)
+                qkv = x @ w
+                q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
                          name="to_q")(x)

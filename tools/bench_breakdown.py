@@ -91,6 +91,13 @@ def main():
             cast, pipe.unet_child_params)
         pipe.vae_params = jax.tree_util.tree_map(cast, pipe.vae_params)
 
+    # params from _build_pipeline are host-side numpy; make them
+    # device-resident ONCE or every jit call re-ships GBs through the
+    # low-bandwidth tunnel and its variance corrupts the timing slope
+    pipe.unet_params = jax.device_put(pipe.unet_params)
+    pipe.unet_child_params = jax.device_put(pipe.unet_child_params)
+    pipe.vae_params = jax.device_put(pipe.vae_params)
+
     lat_hw = res // 8
     r = np.random.RandomState(0)
 

@@ -57,6 +57,13 @@ def main():
             cast, pipe.unet_child_params)
         pipe.vae_params = jax.tree_util.tree_map(cast, pipe.vae_params)
 
+    # params from _build_pipeline are host-side numpy; make them
+    # device-resident ONCE or every jit call re-ships GBs through the
+    # low-bandwidth tunnel and its variance corrupts the timing slope
+    pipe.unet_params = jax.device_put(pipe.unet_params)
+    pipe.unet_child_params = jax.device_put(pipe.unet_child_params)
+    pipe.vae_params = jax.device_put(pipe.vae_params)
+
     bundle = _params_bundle(pipe)
     rgb = jnp.asarray(np.random.RandomState(0)
                       .uniform(-1, 1, (B, res, res, 3)), jnp.float32)

@@ -109,6 +109,12 @@ def main():
         os.path.join(args.sd2_dir, "text_encoder")))
     text_tree = {"params": convert_clip_text_state_dict(text_sd)}
 
+    # host-side tool: the text-table CLIP forward must NOT grab the TPU
+    # (the axon tunnel serializes processes; a converter colliding with a
+    # running bench wedges both)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from stablemtl_tpu.models import CLIPTextConfig, CLIPTextModel
