@@ -37,6 +37,10 @@ if os.environ.get("JAX_PLATFORMS"):
     _plats = os.environ["JAX_PLATFORMS"]
     if "cpu" not in _plats.split(","):
         _plats += ",cpu"
+    # write the env var back too: enable_persistent_cache re-applies
+    # JAX_PLATFORMS (to beat the sitecustomize) and would otherwise
+    # clobber the cpu registration added here
+    os.environ["JAX_PLATFORMS"] = _plats
     jax.config.update("jax_platforms", _plats)
 
 from stablemtl_tpu.utils.compilation_cache import enable_persistent_cache
@@ -143,13 +147,24 @@ def main():
             return float((ca or {}).get("flops", 0.0))
 
         step_fn = lambda b, r, rn: _rebind(pipe, b).infer_all_tasks(r, rn)
-        flops = _flops_of(jax.jit(step_fn).lower(bundle, rgb, rgb))
+        try:
+            flops = _flops_of(jax.jit(step_fn).lower(bundle, rgb, rgb))
+        except Exception:
+            flops = 0.0
         if flops <= 0:
             # the remote (axon) backend exposes no HLO cost model; the
             # pre-optimization flop count is backend-agnostic, so lower
-            # the same step for the in-process CPU backend and use that
-            with jax.default_device(jax.local_devices(backend="cpu")[0]):
-                flops = _flops_of(jax.jit(step_fn).lower(bundle, rgb, rgb))
+            # the same step for the in-process CPU backend and use that.
+            # Flash must be off for the CPU trace (Pallas won't lower to
+            # CPU outside interpret mode); the softmax-attention FLOPs are
+            # the same math so the count is unaffected.
+            os.environ["STABLEMTL_DISABLE_FLASH"] = "1"
+            try:
+                with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                    flops = _flops_of(
+                        jax.jit(step_fn).lower(bundle, rgb, rgb))
+            finally:
+                del os.environ["STABLEMTL_DISABLE_FLASH"]
         if flops > 0:
             achieved_tflops = flops / per_iter / 1e12
             if on_tpu:

@@ -172,7 +172,7 @@ def main():
         img = np.asarray(Image.open(args.image).convert("RGB"),
                          np.float32) / 255.0 * 2 - 1
     else:
-        h = w = 256
+        h = w = args.res
         yy, xx = np.mgrid[0:h, 0:w]
         img = np.stack([xx / w, yy / h, (xx + yy) / (h + w)],
                        -1).astype(np.float32) * 2 - 1
