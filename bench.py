@@ -63,11 +63,20 @@ def main():
                                "4" if on_tpu else "1"))
     iters = int(os.environ.get("STABLEMTL_BENCH_ITERS", "8"))
     dtype = "bfloat16" if on_tpu else "float32"
+    # Production inference mode: norms emit compute dtype + tanh gelu
+    # (fast_math). Measured +10% on chip (4.077 -> 4.491 img/s, round 3);
+    # numeric delta vs the exact bf16 path is within the bf16 noise floor
+    # (BENCH_NOTES.md). STABLEMTL_FAST_MATH=0 restores exact-parity math.
+    if on_tpu:
+        os.environ.setdefault("STABLEMTL_FAST_MATH", "1")
 
     from __graft_entry__ import _build_pipeline
 
     pipe = _build_pipeline(preset, multi_stream=True, image_hw=(res, res),
                            dtype=dtype)
+    # experiment knob: chunked VAE decode (see pipeline.decode_chunk) —
+    # caps the decode working set so batches > 4 can fit on one chip
+    pipe.decode_chunk = int(os.environ.get("STABLEMTL_DECODE_CHUNK", "0"))
     if dtype == "bfloat16":
         # keep normalization params f32, cast the big matmul/conv weights
         def cast(p):

@@ -144,6 +144,13 @@ class StableMTLPipeline:
     encode_rgb_mode: str = "duplicate"
     exclude_main_task: bool = True
     child_tap: str = "afterSelfAttn_residual"
+    # decode the [K*B] latent stack in lax.map chunks of this size (0 =
+    # one batched decode). The batched VAE decode's activations are the
+    # HBM peak of the fused all-task step (28 latents at batch 4 is the
+    # 15.75G chip's limit); chunking caps that working set so larger UNet
+    # batches fit, while chunks >= 7 keep the decoder convs MXU-sized
+    # (decode is FLOP-bound at ~94% of bf16 peak, so chunking costs ~0).
+    decode_chunk: int = 0
 
     @property
     def is_multi_stream(self) -> bool:
@@ -348,7 +355,14 @@ class StableMTLPipeline:
             return pred
 
         preds = jax.vmap(one_task)(task_indices)  # [K, B, h, w, 4]
-        imgs = self.decode_latent(preds.reshape((-1,) + preds.shape[2:]))
+        flat = preds.reshape((-1,) + preds.shape[2:])
+        n, c = flat.shape[0], self.decode_chunk
+        if c and c < n and n % c == 0:
+            imgs = jax.lax.map(self.decode_latent,
+                               flat.reshape((n // c, c) + flat.shape[1:]))
+            imgs = imgs.reshape((n,) + imgs.shape[2:])
+        else:
+            imgs = self.decode_latent(flat)
         imgs = imgs.reshape((task_indices.shape[0], B) + imgs.shape[1:])
         return jnp.clip(imgs, -1.0, 1.0)
 

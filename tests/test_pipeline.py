@@ -164,3 +164,23 @@ def test_avg_encode_mode():
         lat, lat_next, jnp.asarray(task_index("optical_flow")))
     np.testing.assert_allclose(np.asarray(out), 2.0)
     assert pipe.rgb_latent_channels == 4
+
+
+def test_decode_chunk_equivalent():
+    """Chunked VAE decode (pipeline.decode_chunk) is numerically identical
+    to the single batched decode — only the HBM working set changes."""
+    import dataclasses
+
+    pipe = _tiny_pipeline(multi_stream=True)
+    rgb = jnp.asarray(np.random.RandomState(0)
+                      .uniform(-1, 1, (2, 16, 16, 3)), jnp.float32)
+    base = pipe.infer_all_tasks(rgb, rgb)          # one decode of 14
+    chunked = dataclasses.replace(pipe, decode_chunk=7)
+    got = chunked.infer_all_tasks(rgb, rgb)        # 2 chunks of 7
+    assert base.shape == got.shape == (N_TASKS, 2, 16, 16, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               atol=1e-6)
+    # non-divisible chunk falls back to the batched decode
+    odd = dataclasses.replace(pipe, decode_chunk=5)
+    np.testing.assert_allclose(np.asarray(odd.infer_all_tasks(rgb, rgb)),
+                               np.asarray(base), atol=0)
