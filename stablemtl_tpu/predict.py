@@ -51,14 +51,17 @@ class Predictor:
                  next_image: Optional[np.ndarray] = None,
                  match_input_res: bool = True) -> Prediction:
         rgb = _to_norm(image)
-        rgb_next = _to_norm(next_image) if next_image is not None else rgb
+        rgb_next = _to_norm(next_image) if next_image is not None else None
         in_hw = rgb.shape[:2]
         if self.processing_res > 0:
             rgb = resize_max_res(rgb, self.processing_res)
-            rgb_next = resize_max_res(rgb_next, self.processing_res)
+            if rgb_next is not None:
+                rgb_next = resize_max_res(rgb_next, self.processing_res)
 
+        # rgb_next=None takes the pipeline's single-frame path (one VAE
+        # encode instead of two)
         pred3 = np.asarray(self._infer(
-            rgb[None], rgb_next[None],
+            rgb[None], None if rgb_next is None else rgb_next[None],
             np.asarray(TASK_INDEX[task], np.int32)))[0]
         if match_input_res and pred3.shape[:2] != in_hw:
             pred3 = cv2.resize(pred3, (in_hw[1], in_hw[0]),
@@ -80,12 +83,14 @@ class Predictor:
         if self._infer_all is None:
             self._infer_all = jit_infer_all_tasks(self.pipeline)
         rgb = _to_norm(image)
-        rgb_next = _to_norm(next_image) if next_image is not None else rgb
+        rgb_next = _to_norm(next_image) if next_image is not None else None
         in_hw = rgb.shape[:2]
         if self.processing_res > 0:
             rgb = resize_max_res(rgb, self.processing_res)
-            rgb_next = resize_max_res(rgb_next, self.processing_res)
-        preds = np.asarray(self._infer_all(rgb[None], rgb_next[None]))
+            if rgb_next is not None:
+                rgb_next = resize_max_res(rgb_next, self.processing_res)
+        preds = np.asarray(self._infer_all(
+            rgb[None], None if rgb_next is None else rgb_next[None]))
         results = {}
         for ti, task in enumerate(TASKS):
             pred3 = preds[ti, 0]

@@ -32,12 +32,21 @@ def host_fingerprint() -> str:
     code at worst. Keying the cache directory by (arch, cpu flags) makes
     foreign entries invisible instead of merely rejected."""
     bits = [platform.machine(), jax.__version__]
+    # Hash EVERY identifying line of the first core's cpuinfo block, not
+    # just the first match: two VMs can share a "model name" string while
+    # family/model/stepping differ — and XLA derives LLVM *tuning*
+    # features (+prefer-no-gather etc.) from those, so a model-name-only
+    # key collided across machines (observed round 3: foreign AOT entries
+    # loading again with "could lead to execution errors such as SIGILL").
+    keys = ("model name", "cpu family", "model", "stepping", "vendor_id",
+            "flags", "Features", "CPU implementer", "CPU part")
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features", "model name")):
+                if not line.strip():
+                    break  # end of first core's block
+                if line.split(":")[0].strip() in keys:
                     bits.append(line.strip())
-                    break  # first core is representative
     except OSError:
         bits.append(platform.processor())
     return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
