@@ -172,12 +172,15 @@ class MTLDataset:
         resize_to_hw applies in EVERY mode (reference
         base_mtl_dataset.py:280-287 resizes the whole raster dict
         mode-independently with NEAREST_EXACT)."""
-        if "rgb_next_norm" not in sample and "rgb_norm" in sample:
-            sample["rgb_next_norm"] = sample["rgb_norm"]
         if self.resize_to_hw is not None:
             for k, v in list(sample.items()):
                 if isinstance(v, np.ndarray) and v.ndim >= 2:
                     sample[k] = resize_nearest(v, self.resize_to_hw)
+        # duplicate-frame fill AFTER the resize: the evaluator detects
+        # single-frame datasets by `rgb_next_norm is rgb_norm` (one-encode
+        # fast path) and a per-key resize would break the alias.
+        if "rgb_next_norm" not in sample and "rgb_norm" in sample:
+            sample["rgb_next_norm"] = sample["rgb_norm"]
         return sample
 
     # -- protocol --------------------------------------------------------

@@ -190,6 +190,10 @@ def test_vkitti_depth_dataset(vkitti_tree):
     # deterministic under same rng
     s2 = ds.get(0, np.random.default_rng(0))
     np.testing.assert_array_equal(s["output"], s2["output"])
+    # single-frame dataset: the duplicate-frame fill must SURVIVE
+    # resize_to_hw as an alias — the evaluator keys its one-VAE-encode
+    # fast path on `rgb_next_norm is rgb_norm` (evaluation.py).
+    assert s["rgb_next_norm"] is s["rgb_norm"]
 
 
 def test_vkitti_flow_dataset(vkitti_tree):

@@ -420,9 +420,17 @@ def vae_parity(seed=1, B=2, hw=32):
     got_dec = fm.apply({"params": params}, got_lat, method=fm.decode)
     enc_d = float(np.abs(np.transpose(np.asarray(got_lat), (0, 3, 1, 2))
                          - want_lat.numpy()).max())
-    dec_chw = np.transpose(np.asarray(got_dec), (0, 3, 1, 2))
-    dec_d = float(np.abs(dec_chw - want_dec.numpy()).max())
-    return enc_d, dec_d, dec_d
+    # decoder in ISOLATION: feed the TORCH latent to the flax decoder so a
+    # decode regression is not entangled with encode error.
+    got_dec_iso = fm.apply(
+        {"params": params},
+        jnp.asarray(want_lat.numpy().transpose(0, 2, 3, 1)),
+        method=fm.decode)
+    dec_d = float(np.abs(np.transpose(np.asarray(got_dec_iso), (0, 3, 1, 2))
+                         - want_dec.numpy()).max())
+    rt_chw = np.transpose(np.asarray(got_dec), (0, 3, 1, 2))
+    rt_d = float(np.abs(rt_chw - want_dec.numpy()).max())
+    return enc_d, dec_d, rt_d
 
 
 def test_full_vae_composed_parity():

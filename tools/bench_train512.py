@@ -43,17 +43,23 @@ def build(res: int, dtype: str):
     from stablemtl_tpu.pipeline import N_TASKS, StableMTLPipeline
 
     on_tpu = jax.default_backend() not in ("cpu",)
+    # fast_math during TRAINING (bf16 norm outputs + tanh gelu in fwd+bwd)
+    # is an opt-in measured variant, not the default: the reference itself
+    # trains mixed-precision fp16 (config/accelerator/multigpus_8.yaml), so
+    # bf16-norm training is within its numeric envelope, but exact math
+    # stays the default here as everywhere outside bench inference.
+    fm = os.environ.get("STABLEMTL_FAST_MATH") == "1"
     if on_tpu:
         ucfg = UNetConfig(use_task_attention=True, attn_mask_ratio=0.4,
-                          dtype=dtype, remat=True)
-        ccfg = UNetConfig(dtype=dtype)
-        vcfg = VAEConfig(dtype=dtype)
+                          dtype=dtype, remat=True, fast_math=fm)
+        ccfg = UNetConfig(dtype=dtype, fast_math=fm)
+        vcfg = VAEConfig(dtype=dtype, fast_math=fm)
         text_dim = 1024
     else:
         ucfg = tiny_unet_config(use_task_attention=True, dtype=dtype,
-                                remat=True)
-        ccfg = tiny_unet_config(dtype=dtype)
-        vcfg = tiny_vae_config(dtype=dtype)
+                                remat=True, fast_math=fm)
+        ccfg = tiny_unet_config(dtype=dtype, fast_math=fm)
+        vcfg = tiny_vae_config(dtype=dtype, fast_math=fm)
         text_dim = ucfg.cross_attention_dim
 
     lh = lw = res // 8
@@ -107,6 +113,10 @@ def time_variant(pipe, batch, iters):
     pipe.unet_params = None
     step = make_train_step(pipe, donate=True)
 
+    # host-numpy args re-ship through the low-bandwidth tunnel on EVERY
+    # call (CLAUDE.md hazard; ~10 MB/step at 512x512) — put them once.
+    batch = jax.device_put(batch)
+
     s_loss = [state, 0.0]
 
     def run(n):
@@ -145,8 +155,10 @@ def main():
             "" if only == "flash" else "1"
         pipe = build(res, dtype)
         per, loss = time_variant(pipe, batch, iters)
+        fm_tag = "_fm" if os.environ.get("STABLEMTL_FAST_MATH") == "1" \
+            else ""
         print(json.dumps({
-            "variant": f"train_step_{res}x{res}_b{B}_{only}",
+            "variant": f"train_step_{res}x{res}_b{B}_{only}{fm_tag}",
             "s_per_step": round(per, 4),
             "train_imgs_per_sec": round(B / per, 3),
             "loss": round(loss, 5)}), flush=True)

@@ -74,6 +74,15 @@ def main():
                          "automatically on shape mismatch.")
     args = ap.parse_args()
 
+    # Host-side tool: force CPU BEFORE any jnp op (inflate_conv_in uses
+    # jnp.tile) and via the ENV VAR, not just the config update — backends
+    # are cached, and a converter grabbing the axon tunnel next to a
+    # running bench wedges both (CLAUDE.md hazards).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     from stablemtl_tpu.models.torch_convert import (
         convert_clip_text_state_dict,
         convert_unet_state_dict,
@@ -108,14 +117,6 @@ def main():
     text_sd = _load_torch_state(_find_weights(
         os.path.join(args.sd2_dir, "text_encoder")))
     text_tree = {"params": convert_clip_text_state_dict(text_sd)}
-
-    # host-side tool: the text-table CLIP forward must NOT grab the TPU
-    # (the axon tunnel serializes processes; a converter colliding with a
-    # running bench wedges both)
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
 
     from stablemtl_tpu.models import CLIPTextConfig, CLIPTextModel
     from stablemtl_tpu.models.clip import get_tokenizer

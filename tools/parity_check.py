@@ -122,6 +122,7 @@ def fixture_parity():
     out["full_unet_tap_max_abs_diff"] = max(tap_diffs)
     enc_d, dec_d, rt_d = tfp.vae_parity()
     out["vae_encode_max_abs_diff"] = enc_d
+    out["vae_decode_max_abs_diff"] = dec_d   # torch latent -> flax decoder
     out["vae_roundtrip_max_abs_diff"] = rt_d
 
     out["pass"] = all(v is None or v < 1e-4 for v in out.values())
