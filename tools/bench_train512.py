@@ -37,9 +37,8 @@ import numpy as np
 
 
 def build(res: int, dtype: str):
+    from stablemtl_tpu.factory import model_configs
     from stablemtl_tpu.models import AutoencoderKL, UNet2DConditionModel
-    from stablemtl_tpu.models.unet import UNetConfig, tiny_unet_config
-    from stablemtl_tpu.models.vae import VAEConfig, tiny_vae_config
     from stablemtl_tpu.pipeline import N_TASKS, StableMTLPipeline
 
     on_tpu = jax.default_backend() not in ("cpu",)
@@ -49,18 +48,9 @@ def build(res: int, dtype: str):
     # bf16-norm training is within its numeric envelope, but exact math
     # stays the default here as everywhere outside bench inference.
     fm = os.environ.get("STABLEMTL_FAST_MATH") == "1"
-    if on_tpu:
-        ucfg = UNetConfig(use_task_attention=True, attn_mask_ratio=0.4,
-                          dtype=dtype, remat=True, fast_math=fm)
-        ccfg = UNetConfig(dtype=dtype, fast_math=fm)
-        vcfg = VAEConfig(dtype=dtype, fast_math=fm)
-        text_dim = 1024
-    else:
-        ucfg = tiny_unet_config(use_task_attention=True, dtype=dtype,
-                                remat=True, fast_math=fm)
-        ccfg = tiny_unet_config(dtype=dtype, fast_math=fm)
-        vcfg = tiny_vae_config(dtype=dtype, fast_math=fm)
-        text_dim = ucfg.cross_attention_dim
+    ucfg, ccfg, vcfg, text_dim = model_configs(
+        "full" if on_tpu else "tiny", True, {"attn_mask_ratio": 0.4},
+        dtype=dtype, remat=True, fast_math=fm)
 
     lh = lw = res // 8
     k = jax.random.split(jax.random.PRNGKey(0), 5)
