@@ -326,19 +326,44 @@ class StableMTLPipeline:
         """
         task_indices = jnp.asarray(task_indices, jnp.int32)
         lat, lat_next = self.encode_rgb_pair(rgb_norm, rgb_next_norm)
-        B = lat.shape[0]
         taps_all = self.child_taps_all_tasks(lat, lat_next, rng)
+        preds = self.main_streams(lat, lat_next, taps_all, task_indices,
+                                  rng=rng, params=params)  # [K, B, h, w, 4]
+        flat = preds.reshape((-1,) + preds.shape[2:])
+        n, c = flat.shape[0], self.decode_chunk
+        if c and c < n and n % c == 0:
+            imgs = jax.lax.map(self.decode_latent,
+                               flat.reshape((n // c, c) + flat.shape[1:]))
+            imgs = imgs.reshape((n,) + imgs.shape[2:])
+        else:
+            imgs = self.decode_latent(flat)
+        imgs = imgs.reshape((task_indices.shape[0], lat.shape[0])
+                            + imgs.shape[1:])
+        return jnp.clip(imgs, -1.0, 1.0)
+
+    def main_streams(self, lat, lat_next, taps_all, task_indices, rng=None,
+                     params=None, with_task_attention: bool = True):
+        """The K vmapped main-UNet streams given precomputed child taps.
+
+        task_indices: [K] int. Returns [K, B, h, w, 4] latent predictions.
+
+        Cross-task K/V depends only on the shared child features: the
+        all-task tables are built ONCE (models/unet.task_kv_tables) and
+        shared — unbatched — across the vmapped streams. Each stream
+        excludes its own task from the key set with a -inf bias (exactly
+        softmax-equivalent to gathering the aux subset, exp(-1e9)=0),
+        so neither the K/V MLPs nor a [T_aux,...] gather run per stream.
+
+        with_task_attention=False skips the cross-task machinery entirely
+        (K/V tables, Q MLPs, per-pixel task attention) — an ablation hook
+        for tools/bench_breakdown.py, not a production mode.
+        """
+        B = lat.shape[0]
         t = jnp.full((B,), FIXED_TIMESTEP, jnp.int32)
         uparams = params if params is not None else self.unet_params
 
-        # cross-task K/V depends only on the shared child features: build
-        # the all-task tables ONCE (models/unet.task_kv_tables) and share
-        # them — unbatched — across the vmapped streams. Each stream
-        # excludes its own task from the key set with a -inf bias (exactly
-        # softmax-equivalent to gathering the aux subset, exp(-1e9)=0),
-        # so neither the K/V MLPs nor a [T_aux,...] gather run per stream.
         kv_tables = None
-        if self.is_multi_stream:
+        if self.is_multi_stream and with_task_attention:
             from .models.unet import task_kv_tables
             kv_tables = task_kv_tables(self.unet.config, uparams, taps_all)
 
@@ -347,7 +372,7 @@ class StableMTLPipeline:
             noise = self.noise_latent(rgb_lat[..., :4], rng)
             x = jnp.concatenate([rgb_lat, noise], axis=-1)
             text = self.text_embed(main_idx, B)
-            if self.is_multi_stream:
+            if self.is_multi_stream and with_task_attention:
                 key_bias = jnp.where(
                     (jnp.arange(N_TASKS) == main_idx) & self.exclude_main_task,
                     -1e9, 0.0).astype(jnp.float32)
@@ -358,17 +383,7 @@ class StableMTLPipeline:
                 pred, _ = self.unet.apply(uparams, x, t, text, train=False)
             return pred
 
-        preds = jax.vmap(one_task)(task_indices)  # [K, B, h, w, 4]
-        flat = preds.reshape((-1,) + preds.shape[2:])
-        n, c = flat.shape[0], self.decode_chunk
-        if c and c < n and n % c == 0:
-            imgs = jax.lax.map(self.decode_latent,
-                               flat.reshape((n // c, c) + flat.shape[1:]))
-            imgs = imgs.reshape((n,) + imgs.shape[2:])
-        else:
-            imgs = self.decode_latent(flat)
-        imgs = imgs.reshape((task_indices.shape[0], B) + imgs.shape[1:])
-        return jnp.clip(imgs, -1.0, 1.0)
+        return jax.vmap(one_task)(task_indices)
 
     def infer_all_tasks(self, rgb_norm, rgb_next_norm, rng=None, params=None):
         """Fused multi-task inference: one input -> predictions for ALL

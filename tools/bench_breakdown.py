@@ -169,6 +169,55 @@ def main():
         per = timed_slope(lambda n: chain(n, lat1, bundle), iters)
         report("child_taps_all_tasks", per, N_TASKS * batch)
 
+    if {"main", "main_notask", "kv_tables"} & set(parts):
+        lat1 = jnp.asarray(r.uniform(-1, 1, (batch, lat_hw, lat_hw, 4)),
+                           jnp.float32)
+        bundle = _params_bundle(pipe)
+        # child taps once, resident on device (they are an INPUT to the
+        # main streams, not part of what we're timing here)
+        taps = jax.jit(lambda x, b: _rebind(pipe, b)
+                       .child_taps_all_tasks(x, x, None))(lat1, bundle)
+        all_idx = jnp.arange(N_TASKS)
+
+        def perturb(tp, x):
+            # make the taps depend on the chain state or XLA hoists every
+            # tap-only computation (the K/V tables) out of the fori_loop
+            eps = x.mean() * 1e-12
+            return [t + eps.astype(t.dtype) for t in tp]
+
+        if "kv_tables" in parts:
+            from stablemtl_tpu.models.unet import task_kv_tables
+
+            def kv_only(x, p):
+                b, tp = p
+                tabs = task_kv_tables(pipe.unet.config, b["unet"],
+                                      perturb(tp, x))
+                return sum(t[0].mean() + t[1].mean()
+                           for t in tabs if t is not None) + x.mean()
+
+            chain = make_chain(kv_only)
+            per = timed_slope(lambda n: chain(n, lat1, (bundle, taps)), iters)
+            report("task_kv_tables", per, N_TASKS * batch)
+
+        def main_fn(with_task):
+            def f(x, p):
+                b, tp = p
+                preds = _rebind(pipe, b).main_streams(
+                    x, x, perturb(tp, x) if with_task else tp, all_idx,
+                    with_task_attention=with_task)
+                return preds.mean()
+            return f
+
+        if "main" in parts:
+            chain = make_chain(main_fn(True))
+            per = timed_slope(lambda n: chain(n, lat1, (bundle, taps)), iters)
+            report("main_streams", per, N_TASKS * batch)
+
+        if "main_notask" in parts:
+            chain = make_chain(main_fn(False))
+            per = timed_slope(lambda n: chain(n, lat1, (bundle, taps)), iters)
+            report("main_streams_no_task_attn", per, N_TASKS * batch)
+
     if "full" in parts:
         rgb = jnp.asarray(r.uniform(-1, 1, (batch, res, res, 3)),
                           jnp.float32)
