@@ -92,13 +92,8 @@ class CheckpointManager:
         only the UNet weights, eval_mtl.py:317-344 /
         stablemtl_trainer.py:1176-1181).
         """
-        path = os.path.join(self.ckpt_dir, name)
-        raw = self._ckptr.restore(path)  # structure-free restore
-        params = jax.tree_util.tree_map(
-            lambda tgt, new: np.asarray(new).astype(np.asarray(tgt).dtype)
-            if hasattr(tgt, "dtype") else new,
-            state.params, raw["params"])
-        return state.replace(step=np.asarray(raw["step"]).astype(np.int32),
+        step, params = restore_params(self.ckpt_dir, state.params, name)
+        return state.replace(step=np.asarray(step).astype(np.int32),
                              params=params)
 
     def load_meta(self, name: str = LATEST) -> dict:
@@ -107,6 +102,19 @@ class CheckpointManager:
             return {}
         with open(p) as f:
             return json.load(f)
+
+
+def restore_params(ckpt_dir: str, params_template, name: str = LATEST):
+    """Structure-free restore of (step, params) straight into a params
+    pytree — for inference entry points (serve CLI, Predictor setups) that
+    never build a TrainState. Dtypes follow the template leaves."""
+    ckptr = ocp.StandardCheckpointer()
+    raw = ckptr.restore(os.path.join(os.path.abspath(ckpt_dir), name))
+    params = jax.tree_util.tree_map(
+        lambda tgt, new: np.asarray(new).astype(np.asarray(tgt).dtype)
+        if hasattr(tgt, "dtype") else new,
+        params_template, raw["params"])
+    return int(np.asarray(raw["step"])), params
 
 
 def _jsonable(obj: Any):

@@ -38,7 +38,6 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from ..checkpoint import CheckpointManager
-    from ..config import recursive_load_config
     from ..factory import (
         build_optimizer_config,
         build_pipeline,
@@ -57,27 +56,11 @@ def main(argv=None):
     enable_persistent_cache()
     # --config may be a training OUTPUT DIR: reload the run's archived
     # config (reference eval_mtl.py:180-194 resume-config loading)
-    cfg_path = args.config
-    if os.path.isdir(cfg_path):
-        resolved = os.path.join(cfg_path, "config_resolved.json")
-        if os.path.exists(resolved):
-            import json as _json
+    from ..config import resolve_config_arg
 
-            from ..config import Config
-
-            with open(resolved) as f:
-                cfg = Config(_json.load(f))
-            if args.checkpoint is None:
-                ck = os.path.join(cfg_path, "checkpoint")
-                if os.path.isdir(ck):
-                    args.checkpoint = ck
-            cfg_path = None
-        else:
-            raise SystemExit(f"{resolved} not found")
-    if cfg_path is not None:
-        cfg = recursive_load_config(
-            cfg_path, root=os.path.dirname(os.path.dirname(
-                os.path.abspath(cfg_path))))
+    cfg, implied_ckpt = resolve_config_arg(args.config)
+    if args.checkpoint is None:
+        args.checkpoint = implied_ckpt
     os.makedirs(args.output_dir, exist_ok=True)
     setup_logging(os.path.join(args.output_dir, "eval.log"))
     log = logging.getLogger("eval")

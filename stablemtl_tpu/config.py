@@ -111,6 +111,25 @@ def recursive_load_config(path: str, root: str | None = None) -> Config:
     return Config(merged)
 
 
+def resolve_config_arg(config_arg: str):
+    """Resolve a CLI `--config` value that may be a YAML path OR a training
+    output dir (reference eval_mtl.py:180-194): dirs reload the run's
+    archived `config_resolved.json` and imply `<dir>/checkpoint` when it
+    exists. Returns (cfg, implied_checkpoint_dir_or_None)."""
+    if os.path.isdir(config_arg):
+        resolved = os.path.join(config_arg, "config_resolved.json")
+        if not os.path.exists(resolved):
+            raise SystemExit(f"{resolved} not found")
+        with open(resolved) as f:
+            cfg = Config(json.load(f))
+        ck = os.path.join(config_arg, "checkpoint")
+        return cfg, (ck if os.path.isdir(ck) else None)
+    cfg = recursive_load_config(
+        config_arg, root=os.path.dirname(os.path.dirname(
+            os.path.abspath(config_arg))))
+    return cfg, None
+
+
 def find_value_in_config(cfg: Config | dict, key: str) -> list:
     """Collect every value stored under `key` anywhere in the config tree.
 

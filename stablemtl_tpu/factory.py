@@ -159,6 +159,10 @@ def build_pipeline(cfg: Config, seed: int = 0) -> StableMTLPipeline:
         unet_child=child, unet_child_params=child_params,
         input_noise=pipe_cfg.get("input_noise", "deterministic"),
         encode_rgb_mode=pipe_cfg.get("encode_rgb_model", "duplicate"),
+        # chunked all-task VAE decode (pipeline.decode_chunk): caps the
+        # decode HBM peak so larger inference batches fit (bench.py uses
+        # 14 on a 15.75G v5e for batch 8 @512)
+        decode_chunk=int(pipe_cfg.get("decode_chunk", 0)),
         exclude_main_task=bool(trainer_cfg.get(
             "exclude_mainstream_output_type", True)
             if hasattr(trainer_cfg, "get") else True),

@@ -207,3 +207,13 @@ def test_single_frame_encode_path_equivalent():
     np.testing.assert_allclose(
         np.asarray(fn(rgb, None)),
         np.asarray(fn(rgb, jnp.array(rgb))), atol=1e-5)
+
+
+def test_factory_plumbs_decode_chunk():
+    from stablemtl_tpu.config import Config
+    from stablemtl_tpu.factory import build_pipeline
+
+    cfg = Config({"model": {"size_preset": "tiny",
+                            "pretrained_path": "scratch"},
+                  "pipeline": {"decode_chunk": 3}})
+    assert build_pipeline(cfg).decode_chunk == 3
