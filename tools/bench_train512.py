@@ -26,7 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # keep the env platform primary but register cpu too: the axon backend
+    # exposes no HLO cost model, so the MFU block lowers the step for the
+    # in-process cpu backend (see bench.py, same pattern)
+    _plats = os.environ["JAX_PLATFORMS"]
+    if "cpu" not in _plats.split(","):
+        _plats += ",cpu"
+    os.environ["JAX_PLATFORMS"] = _plats
+    jax.config.update("jax_platforms", _plats)
 
 from stablemtl_tpu.utils.compilation_cache import enable_persistent_cache
 
@@ -122,6 +129,47 @@ def time_variant(pipe, batch, iters):
     return per, s_loss[1]
 
 
+def _train_step_flops(pipe, batch) -> float:
+    """Pre-optimization FLOPs of ONE train step from the HLO cost model.
+
+    The axon backend exposes no cost model, so the step is lowered for the
+    in-process CPU backend (flop count is backend-independent); Pallas
+    flash must be off for that trace (same math, same count — bench.py
+    uses the identical fallback). Abstract lowering only: no state or
+    optimizer memory is allocated."""
+    try:
+        from stablemtl_tpu.train_state import (OptimizerConfig,
+                                               create_train_state,
+                                               make_train_step)
+
+        state_shapes = jax.eval_shape(
+            lambda p: create_train_state(
+                p, OptimizerConfig(optimizer="adafactor",
+                                   use_schedule=False)),
+            pipe.unet_params)
+        batch_shapes = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x),
+                                           np.asarray(x).dtype), batch)
+        prev = os.environ.get("STABLEMTL_DISABLE_FLASH")
+        os.environ["STABLEMTL_DISABLE_FLASH"] = "1"
+        try:
+            step = make_train_step(pipe, donate=False)
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                lowered = step.jitted.lower(state_shapes, step.frozen,
+                                            batch_shapes)
+        finally:
+            if prev is None:
+                del os.environ["STABLEMTL_DISABLE_FLASH"]
+            else:
+                os.environ["STABLEMTL_DISABLE_FLASH"] = prev
+        ca = lowered.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return float((ca or {}).get("flops", 0.0))
+    except Exception as e:
+        print(f"# train-step cost model unavailable: {e}", file=sys.stderr)
+        return 0.0
+
+
 def main():
     on_tpu = jax.default_backend() not in ("cpu",)
     res = int(os.environ.get("STABLEMTL_BENCH_RES", "512" if on_tpu
@@ -144,14 +192,21 @@ def main():
         os.environ["STABLEMTL_DISABLE_FLASH"] = \
             "" if only == "flash" else "1"
         pipe = build(res, dtype)
+        flops = _train_step_flops(pipe, batch)  # before params are dropped
         per, loss = time_variant(pipe, batch, iters)
         fm_tag = "_fm" if os.environ.get("STABLEMTL_FAST_MATH") == "1" \
             else ""
-        print(json.dumps({
+        rec = {
             "variant": f"train_step_{res}x{res}_b{B}_{only}{fm_tag}",
             "s_per_step": round(per, 4),
             "train_imgs_per_sec": round(B / per, 3),
-            "loss": round(loss, 5)}), flush=True)
+            "loss": round(loss, 5)}
+        if flops > 0:
+            rec["achieved_tflops"] = round(flops / per / 1e12, 1)
+            if on_tpu:
+                rec["mfu_vs_v5e_bf16_peak"] = round(
+                    flops / per / 1e12 / 197.0, 3)
+        print(json.dumps(rec), flush=True)
         return
 
     # run each variant in its own process: donated/freed buffers from the
