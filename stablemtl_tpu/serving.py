@@ -68,13 +68,19 @@ def _specs_of(tree):
 def export_pipeline(pipe: StableMTLPipeline, batch: int, res_hw,
                     pair: bool = False,
                     platforms: Optional[Sequence[str]] = None,
-                    path: Optional[str] = None) -> bytes:
+                    path: Optional[str] = None, mesh=None) -> bytes:
     """Export the fused all-task inference step as a serialized artifact.
 
     Returns the serialized bytes (and writes them to `path` if given).
     The exported callable takes (params_bundle, rgb[, rgb_next]) with
     rgb shaped [batch, H, W, 3] float32 in [-1, 1] and returns
     [n_tasks, batch, H, W, 3].
+
+    With `mesh`, the artifact is a MULTI-CHIP program (params replicated,
+    batch sharded over the mesh `data` axis; `Exported.nr_devices` =
+    mesh size). Call it with inputs placed on an identically-shaped mesh
+    (proven bit-equal to the directly-jitted sharded step on the virtual
+    CPU mesh, tests/test_serving.py).
     """
     from jax import export as jexport
 
@@ -84,9 +90,20 @@ def export_pipeline(pipe: StableMTLPipeline, batch: int, res_hw,
     img_spec = jax.ShapeDtypeStruct((batch, H, W, 3), jnp.float32)
     args = (bundle_spec, img_spec) + ((img_spec,) if pair else ())
 
+    jit_kwargs = {}
+    if mesh is not None:
+        from .parallel.mesh import batch_sharding, replicated_sharding
+
+        rep = replicated_sharding(mesh)
+        bsh = batch_sharding(mesh)
+        in_shardings = (jax.tree_util.tree_map(lambda _: rep, bundle_spec),
+                        bsh) + ((bsh,) if pair else ())
+        jit_kwargs["in_shardings"] = in_shardings
+
     disabled = tuple(jexport.DisabledSafetyCheck.custom_call(t)
                      for t in _TPU_CUSTOM_CALLS)
-    exported = jexport.export(jax.jit(fn), platforms=platforms,
+    exported = jexport.export(jax.jit(fn, **jit_kwargs),
+                              platforms=platforms,
                               disabled_checks=disabled)(*args)
     blob = bytes(exported.serialize())
     if path is not None:
