@@ -152,3 +152,28 @@ def test_step_timer_ema():
     assert t.value < first  # EMA moved toward the fast step
     with annotate("test-region"):
         pass
+
+
+def test_resolve_config_arg(tmp_path):
+    """--config accepts a yaml OR a training run dir (archived
+    config_resolved.json + implied checkpoint/), reference
+    eval_mtl.py:180-194."""
+    import json
+
+    from stablemtl_tpu.config import resolve_config_arg
+
+    y = tmp_path / "c.yaml"
+    y.write_text("model:\n  size_preset: tiny\n")
+    cfg, ck = resolve_config_arg(str(y))
+    assert cfg.model.size_preset == "tiny" and ck is None
+
+    run = tmp_path / "run"
+    (run / "checkpoint").mkdir(parents=True)
+    (run / "config_resolved.json").write_text(
+        json.dumps({"model": {"size_preset": "full"}}))
+    cfg, ck = resolve_config_arg(str(run))
+    assert cfg.model.size_preset == "full"
+    assert ck == str(run / "checkpoint")
+
+    with pytest.raises(SystemExit, match="config_resolved.json"):
+        resolve_config_arg(str(tmp_path))
