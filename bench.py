@@ -84,12 +84,9 @@ def main():
                                            "14" if on_tpu else "0"))
     if dtype == "bfloat16":
         # keep normalization params f32, cast the big matmul/conv weights
-        def cast(p):
-            return p.astype(jnp.bfloat16) if p.ndim >= 2 else p
-        pipe.unet_params = jax.tree_util.tree_map(cast, pipe.unet_params)
-        pipe.unet_child_params = jax.tree_util.tree_map(
-            cast, pipe.unet_child_params)
-        pipe.vae_params = jax.tree_util.tree_map(cast, pipe.vae_params)
+        from stablemtl_tpu.serving import cast_params_for_inference
+
+        pipe = cast_params_for_inference(pipe)
 
     from stablemtl_tpu.pipeline import _params_bundle, _rebind
 

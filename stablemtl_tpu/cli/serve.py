@@ -63,6 +63,10 @@ def main(argv=None):
         step, params = restore_params(args.checkpoint, pipeline.unet_params)
         pipeline.unet_params = params
         print(f"# restored checkpoint params at step {step}")
+    if cfg.get("model", {}).get("compute_dtype", "float32") == "bfloat16":
+        from ..serving import cast_params_for_inference
+
+        pipeline = cast_params_for_inference(pipeline)
 
     if args.export:
         from ..serving import export_pipeline

@@ -48,6 +48,28 @@ from .pipeline import StableMTLPipeline, _params_bundle, _rebind
 _TPU_CUSTOM_CALLS = ("tpu_custom_call", "Sharding")
 
 
+def cast_params_for_inference(pipe: StableMTLPipeline,
+                              dtype=jnp.bfloat16) -> StableMTLPipeline:
+    """Cast the big matmul/conv weights (ndim >= 2) to the compute dtype,
+    keeping normalization vectors f32. Training must NOT do this (f32
+    master weights); for inference it halves the parameter HBM reads —
+    the model already computes in bf16, so f32 params only add cast+read
+    cost (bench.py measured with exactly this cast). Returns a new
+    pipeline; the original params are unreferenced by it."""
+    import dataclasses
+
+    def cast(p):
+        return p.astype(dtype) if getattr(p, "ndim", 0) >= 2 else p
+
+    def tmap(tree):
+        return None if tree is None else jax.tree_util.tree_map(cast, tree)
+
+    return dataclasses.replace(
+        pipe, vae_params=tmap(pipe.vae_params),
+        unet_params=tmap(pipe.unet_params),
+        unet_child_params=tmap(pipe.unet_child_params))
+
+
 def _step_fn(pipe: StableMTLPipeline, pair: bool):
     if pair:
         def fn(bundle, rgb, rgb_next):

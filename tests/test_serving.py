@@ -173,3 +173,24 @@ def test_export_on_mesh_roundtrip(pipe, tmp_path):
     want = np.asarray(jax.jit(
         lambda b, r: _rebind(pipe, b).infer_all_tasks(r, None))(bundle, x))
     np.testing.assert_array_equal(got, want)
+
+
+def test_cast_params_for_inference(pipe):
+    """bf16 inference cast: matrix/conv leaves cast, vectors stay f32,
+    outputs stay within the bf16 envelope of the f32 pipeline."""
+    from stablemtl_tpu.serving import cast_params_for_inference
+
+    cast = cast_params_for_inference(pipe)
+    leaves = jax.tree_util.tree_leaves(cast.unet_params)
+    assert all(l.dtype == (jnp.bfloat16 if l.ndim >= 2 else l.dtype)
+               for l in leaves)
+    assert any(l.ndim < 2 and l.dtype == jnp.float32 for l in leaves)
+
+    rgb = jnp.asarray(np.random.RandomState(6)
+                      .uniform(-1, 1, (1, 16, 16, 3)), jnp.float32)
+    a = np.asarray(jit_infer_all_tasks(pipe)(rgb, None))
+    b = np.asarray(jit_infer_all_tasks(cast)(rgb, None))
+    # decoded outputs live in [-1,1]; bf16 params shift them by O(1e-2)
+    # on this random-init tiny model (same envelope as BENCH_NOTES's
+    # measured bf16 floor)
+    assert np.abs(a - b).max() < 0.2
