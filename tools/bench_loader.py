@@ -59,25 +59,39 @@ def main():
     h, w = (int(x) for x in os.environ.get(
         "STABLEMTL_BENCH_RES", "288x384").split("x"))
 
+    from stablemtl_tpu.data.augmentation import AugmentationConfig
     from stablemtl_tpu.data.base import DatasetMode
     from stablemtl_tpu.data.datasets import get_dataset
     from stablemtl_tpu.data.loader import MixedTaskLoader
     from stablemtl_tpu.utils.normalizers import get_depth_normalizer
 
+    # the default training augmentation (train_base_config.yaml:78-90)
+    train_aug = AugmentationConfig.from_dict({
+        "enabled": True,
+        "random_horizontal_flip": {"enabled": True},
+        "color_jitter": {"enabled": True, "brightness": 0.4,
+                         "contrast": 0.4, "saturation": 0.4, "hue": 0.159}})
+
     root = tempfile.mkdtemp(prefix="bench_loader_")
     try:
         lst = build_tree(root, h, w)
-        ds = get_dataset({"name": "vkitti_depth", "dir": "vkitti",
-                          "disp_name": "bench", "filenames": lst,
-                          "resize_to_hw": [h, w],
-                          "depth_normalizer": get_depth_normalizer(
-                              {"type": "scale_shift_depth", "clip": True,
-                               "norm_min": -1.0, "norm_max": 1.0,
-                               "min_max_quantile": 0.02})},
-                         base_data_dir=root, mode=DatasetMode.TRAIN)
-        for prefetch in (0, 2):
-            loader = MixedTaskLoader([ds], batch_size=batch, seed=0,
-                                     prefetch=prefetch)
+
+        def make_ds(aug):
+            return get_dataset(
+                {"name": "vkitti_depth", "dir": "vkitti",
+                 "disp_name": "bench", "filenames": lst,
+                 "resize_to_hw": [h, w], "augmentation": aug,
+                 "depth_normalizer": get_depth_normalizer(
+                     {"type": "scale_shift_depth", "clip": True,
+                      "norm_min": -1.0, "norm_max": 1.0,
+                      "min_max_quantile": 0.02})},
+                base_data_dir=root, mode=DatasetMode.TRAIN)
+
+        for tag, aug, prefetch in (("plain", None, 0),
+                                   ("plain", None, 2),
+                                   ("aug", train_aug, 0)):
+            loader = MixedTaskLoader([make_ds(aug)], batch_size=batch,
+                                     seed=0, prefetch=prefetch)
             it = loader.batches(max_steps=steps + 2)
             next(it); next(it)  # warm caches / thread spin-up
             t0 = time.perf_counter()
@@ -87,7 +101,8 @@ def main():
                 n += 1
             dt = time.perf_counter() - t0
             print(json.dumps({
-                "variant": f"loader_{h}x{w}_b{batch}_prefetch{prefetch}",
+                "variant":
+                    f"loader_{h}x{w}_b{batch}_{tag}_prefetch{prefetch}",
                 "batches_per_sec": round(n / dt, 2),
                 "samples_per_sec": round(n * batch / dt, 2)}), flush=True)
     finally:
