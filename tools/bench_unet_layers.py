@@ -115,7 +115,8 @@ def main():
 
         def f(x, p):
             ex = extra(x) if extra else ()
-            return mod.apply(p, x, *ex)
+            out = mod.apply(p, x, *ex)
+            return out[0] if isinstance(out, tuple) else out  # (x, tap)
 
         chain = make_chain(f)
         per = timed_slope(lambda n: chain(n, x0, params), iters)
