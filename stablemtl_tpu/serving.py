@@ -298,4 +298,7 @@ class ServingSession:
                 continue
             for i, (_, _, fut) in enumerate(group):
                 if not fut.cancelled():
-                    fut.set_result(out[:, i])
+                    # copy, not view: a view would pin the whole
+                    # [T, batch, H, W, 3] buffer for as long as any one
+                    # client keeps its result
+                    fut.set_result(out[:, i].copy())
