@@ -103,9 +103,13 @@ def main(argv=None):
                              interpolation=cv2.INTER_AREA)
         return _to_norm(img)
 
+    # decode ALL images before submitting: loading inline would space the
+    # submits further apart than max_delay_ms and every image would run as
+    # its own fully-padded batch (batch x wasted device time)
+    loaded = [(p, load(p)) for p in args.images]
     with ServingSession(pipeline, batch=args.batch,
                         max_delay_s=args.max_delay_ms / 1000.0) as sess:
-        futures = [(p, sess.submit(load(p))) for p in args.images]
+        futures = [(p, sess.submit(img)) for p, img in loaded]
         for path, fut in futures:
             out = fut.result()  # [n_tasks, res, res, 3]
             stem = os.path.splitext(os.path.basename(path))[0]

@@ -71,6 +71,15 @@ def cast_params_for_inference(pipe: StableMTLPipeline,
 
 
 def _step_fn(pipe: StableMTLPipeline, pair: bool):
+    # Strip the param trees from the closed-over pipeline: _rebind
+    # replaces them from the bundle argument anyway, and a long-lived
+    # closure (ServingSession keeps this fn for its lifetime) would
+    # otherwise pin a second, host-side copy of multi-GB weights.
+    import dataclasses
+
+    pipe = dataclasses.replace(pipe, vae_params=None, unet_params=None,
+                               unet_child_params=None,
+                               text_embed_table=None)
     if pair:
         def fn(bundle, rgb, rgb_next):
             return _rebind(pipe, bundle).infer_all_tasks(rgb, rgb_next)
@@ -192,6 +201,12 @@ class ServingSession:
         self._queue: queue.Queue = queue.Queue()
         self._closed = False
         self._geometry = None  # (H, W), pinned by the first request
+        # one lock serializes the closed-check/enqueue and the first-request
+        # geometry pinning: without it a submit racing close() could land
+        # behind the shutdown sentinel (future never resolves), and two
+        # concurrent first submits with different shapes could both pass
+        # validation (the worker's np.stack would then kill the batch)
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -199,8 +214,6 @@ class ServingSession:
     def submit(self, rgb_norm: np.ndarray,
                rgb_next_norm: Optional[np.ndarray] = None) -> Future:
         """Enqueue one image; resolves to np.ndarray [n_tasks, H, W, 3]."""
-        if self._closed:
-            raise RuntimeError("ServingSession is closed")
         rgb_norm = np.asarray(rgb_norm, np.float32)
         if rgb_norm.ndim != 3 or rgb_norm.shape[-1] != 3:
             raise ValueError(f"expected [H, W, 3] image, got "
@@ -213,16 +226,19 @@ class ServingSession:
                 raise ValueError("rgb and rgb_next shapes differ")
         elif rgb_next_norm is not None:
             raise ValueError("pair=False session got rgb_next_norm")
-        if self._geometry is None:
-            self._geometry = rgb_norm.shape[:2]
-        if rgb_norm.shape[:2] != self._geometry:
-            raise ValueError(
-                f"geometry {rgb_norm.shape[:2]} != session geometry "
-                f"{self._geometry}; one executable serves one shape — "
-                f"resize upstream (predict.Predictor does) or open a "
-                f"second session")
-        fut: Future = Future()
-        self._queue.put((rgb_norm, rgb_next_norm, fut))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("ServingSession is closed")
+            if self._geometry is None:
+                self._geometry = rgb_norm.shape[:2]
+            if rgb_norm.shape[:2] != self._geometry:
+                raise ValueError(
+                    f"geometry {rgb_norm.shape[:2]} != session geometry "
+                    f"{self._geometry}; one executable serves one shape — "
+                    f"resize upstream (predict.Predictor does) or open a "
+                    f"second session")
+            fut: Future = Future()
+            self._queue.put((rgb_norm, rgb_next_norm, fut))
         return fut
 
     def infer(self, rgb_norm: np.ndarray,
@@ -237,8 +253,11 @@ class ServingSession:
         self.infer(z, z if self.pair else None)
 
     def close(self) -> None:
-        self._closed = True
-        self._queue.put(None)  # wake the collector
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)  # wake the collector (after all submits)
         self._thread.join(timeout=60)
 
     def __enter__(self):
@@ -276,22 +295,26 @@ class ServingSession:
             if group is None:
                 return
             n = len(group)
-            rgbs = [g[0] for g in group]
-            rgbs += [rgbs[-1]] * (self.batch - n)  # pad: repeat last
 
             def put(stack):
                 x = np.stack(stack)
                 return (jnp.asarray(x) if self._in_sharding is None
                         else jax.device_put(x, self._in_sharding))
 
-            args = (self._bundle, put(rgbs))
-            if self.pair:
-                nxts = [g[1] for g in group]
-                nxts += [nxts[-1]] * (self.batch - n)
-                args += (put(nxts),)
+            # everything touching batch assembly, host->device transfer,
+            # compile and execution stays inside the try: an escaped
+            # exception would kill this thread and leave every future —
+            # this group's and all later ones — unresolved forever
             try:
+                rgbs = [g[0] for g in group]
+                rgbs += [rgbs[-1]] * (self.batch - n)  # pad: repeat last
+                args = (self._bundle, put(rgbs))
+                if self.pair:
+                    nxts = [g[1] for g in group]
+                    nxts += [nxts[-1]] * (self.batch - n)
+                    args += (put(nxts),)
                 out = np.asarray(self._fn(*args))  # [T, batch, H, W, 3]
-            except Exception as e:  # compile/OOM/transport failures
+            except Exception as e:  # stack/transfer/compile/OOM failures
                 for _, _, fut in group:
                     if not fut.cancelled():
                         fut.set_exception(e)
