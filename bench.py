@@ -2,8 +2,9 @@
 
 Metric (BASELINE.json): "512x512 multi-task images/sec/chip" — one unit of
 work = ONE input image fully processed for ALL 7 tasks through the flagship
-multi-stream StableMTL model (VAE encode pair, 7 child-tap streams, 7 main
-UNet streams with cross-task attention, 7 VAE decodes).
+multi-stream StableMTL model: one VAE encode (the single-frame fast path;
+the torch reference always encodes two frames), 7 child-tap streams, 7 main
+UNet streams with cross-task attention, 7 VAE decodes.
 
 Baseline (vs_baseline denominator): the reference has no published numbers
 (BASELINE.md); we use a documented engineering estimate of the PyTorch
@@ -105,7 +106,7 @@ def main():
     bundle = jax.device_put(_params_bundle(pipe))
 
     @jax.jit
-    def chain(b, rgb, rgb_next, n):
+    def chain(b, rgb, n):
         p = _rebind(pipe, b)
 
         def body(_, carry):
@@ -126,7 +127,7 @@ def main():
             np.random.RandomState(0).uniform(-1, 1, (batch, res, res, 3)),
             jnp.float32)
         try:
-            float(chain(bundle, rgb, rgb, 1))  # compile + warmup
+            float(chain(bundle, rgb, 1))  # compile + warmup
             break
         except Exception as e:
             if batch > 1 and ("memory" in str(e).lower()
@@ -139,7 +140,7 @@ def main():
 
     def timed(n):
         t0 = time.perf_counter()
-        float(chain(bundle, rgb, rgb, n))
+        float(chain(bundle, rgb, n))
         return time.perf_counter() - t0
 
     n1, n2 = 2, 2 + iters

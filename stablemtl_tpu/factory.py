@@ -59,6 +59,17 @@ def model_configs(preset: str, multi_stream: bool, trainer_cfg,
         dtype=dtype, remat=remat, fast_math=fast_math,
     )
     fm = dict(dtype=dtype, fast_math=fast_math)
+    if preset == "nano":
+        # Depth-reduced topology (2 UNet stages -> 6 attention layers vs
+        # 16) for the virtual-multichip dry run: every distinct block
+        # kind, the full train-step path, and every sharding rule still
+        # execute, but wall time on a 1-core virtual mesh scales with
+        # layer count (each collective is a thread rendezvous).
+        nano = dict(block_out_channels=(32, 64), attention_heads=(2, 2))
+        return (tiny_unet_config(**nano, **task_kw),
+                tiny_unet_config(**nano, **fm),
+                tiny_vae_config(**fm),
+                tiny_unet_config().cross_attention_dim)
     if preset == "tiny":
         return (tiny_unet_config(**task_kw),
                 tiny_unet_config(**fm),

@@ -460,6 +460,15 @@ def _rebind(pipe: StableMTLPipeline, bundle: dict) -> StableMTLPipeline:
         unet_child_params=bundle.get("child"))
 
 
+def put_params_on_device(pipe: StableMTLPipeline) -> StableMTLPipeline:
+    """Device-put every param tree ONCE — REQUIRED before any timed jit
+    loop: host-numpy params are re-shipped on EVERY jit call (~5 GB per
+    call through the low-bandwidth axon tunnel; measured as 4.07 -> 0.66
+    img/s of pure timing noise, BENCH_NOTES.md round 3). One helper so no
+    bench tool re-invents (or forgets) the idiom."""
+    return _rebind(pipe, jax.device_put(_params_bundle(pipe)))
+
+
 def jit_infer_all_tasks(pipe: StableMTLPipeline):
     """Jitted fused multi-task inference; parameters are traced arguments
     (a closure would bake ~GBs of weights into the HLO as constants)."""

@@ -43,26 +43,20 @@ def main():
     dtype = "bfloat16" if on_tpu else "float32"
 
     from __graft_entry__ import _build_pipeline
-    from stablemtl_tpu.pipeline import _params_bundle, _rebind
+    from stablemtl_tpu.pipeline import (_params_bundle, _rebind,
+                                        put_params_on_device)
 
     preset = os.environ.get("STABLEMTL_BENCH_PRESET",
                             "full" if on_tpu else "tiny")
     pipe = _build_pipeline(preset, multi_stream=True, image_hw=(res, res),
                            dtype=dtype)
     if dtype == "bfloat16":
-        def cast(p):
-            return p.astype(jnp.bfloat16) if p.ndim >= 2 else p
-        pipe.unet_params = jax.tree_util.tree_map(cast, pipe.unet_params)
-        pipe.unet_child_params = jax.tree_util.tree_map(
-            cast, pipe.unet_child_params)
-        pipe.vae_params = jax.tree_util.tree_map(cast, pipe.vae_params)
+        from stablemtl_tpu.serving import cast_params_for_inference
 
-    # params from _build_pipeline are host-side numpy; make them
-    # device-resident ONCE or every jit call re-ships GBs through the
-    # low-bandwidth tunnel and its variance corrupts the timing slope
-    pipe.unet_params = jax.device_put(pipe.unet_params)
-    pipe.unet_child_params = jax.device_put(pipe.unet_child_params)
-    pipe.vae_params = jax.device_put(pipe.vae_params)
+        pipe = cast_params_for_inference(pipe)
+
+    # one shared idiom for the device-residency requirement (see helper)
+    pipe = put_params_on_device(pipe)
 
     bundle = _params_bundle(pipe)
     rgb = jnp.asarray(np.random.RandomState(0)

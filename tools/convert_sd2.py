@@ -79,6 +79,10 @@ def main():
     # are cached, and a converter grabbing the axon tunnel next to a
     # running bench wedges both (CLAUDE.md hazards).
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # blanking the axon pool IP skips axon registration entirely — the
+    # only reliable isolation (CLAUDE.md: even JAX_PLATFORMS=cpu processes
+    # otherwise dial the tunnel at first backends() call)
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
     import jax
 
     jax.config.update("jax_platforms", "cpu")

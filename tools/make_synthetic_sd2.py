@@ -155,6 +155,13 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
+    # Host-side tool: force CPU via the ENV VAR (not just the config
+    # update) and skip axon registration entirely — the sitecustomize hook
+    # otherwise creates the axon PJRT client at first backends() call and
+    # queues on the single tunnel claim next to a running bench
+    # (CLAUDE.md hazards; same pattern as convert_sd2.py).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
     import jax
 
     jax.config.update("jax_platforms", "cpu")

@@ -114,16 +114,28 @@ def fixture_parity():
 
     # composed full-model parity (VERDICT round-2 #1): whole tiny UNet
     # (skip ordering, t-embedding, 16-layer tap order) + whole tiny VAE
-    # against torch twins (tests/test_full_model_parity.py, also in CI)
-    import tests.test_full_model_parity as tfp
+    # against torch twins (tests/test_full_model_parity.py, also in CI).
+    # That module's pytest.importorskip(torch) raises outside pytest on a
+    # torch-less host — degrade to None like the other torch-gated probes
+    # instead of killing the whole report.
+    try:
+        import tests.test_full_model_parity as tfp
 
-    final, tap_diffs = tfp.full_unet_parity()
-    out["full_unet_max_abs_diff"] = final
-    out["full_unet_tap_max_abs_diff"] = max(tap_diffs)
-    enc_d, dec_d, rt_d = tfp.vae_parity()
-    out["vae_encode_max_abs_diff"] = enc_d
-    out["vae_decode_max_abs_diff"] = dec_d   # torch latent -> flax decoder
-    out["vae_roundtrip_max_abs_diff"] = rt_d
+        final, tap_diffs = tfp.full_unet_parity()
+        out["full_unet_max_abs_diff"] = final
+        out["full_unet_tap_max_abs_diff"] = max(tap_diffs)
+        enc_d, dec_d, rt_d = tfp.vae_parity()
+        out["vae_encode_max_abs_diff"] = enc_d
+        out["vae_decode_max_abs_diff"] = dec_d  # torch latent -> flax dec
+        out["vae_roundtrip_max_abs_diff"] = rt_d
+    except BaseException as e:  # pytest.Skipped subclasses BaseException
+        if type(e).__name__ not in ("Skipped", "ImportError",
+                                    "ModuleNotFoundError"):
+            raise
+        for k in ("full_unet_max_abs_diff", "full_unet_tap_max_abs_diff",
+                  "vae_encode_max_abs_diff", "vae_decode_max_abs_diff",
+                  "vae_roundtrip_max_abs_diff"):
+            out[k] = None
 
     out["pass"] = all(v is None or v < 1e-4 for v in out.values())
     print(json.dumps(out, indent=2))
