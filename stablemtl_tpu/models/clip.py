@@ -33,6 +33,19 @@ import numpy as np
 BOS_ID = 49406
 EOS_ID = 49407
 
+# CLIP's pre-tokenization pattern (openai simple_tokenizer):
+#   <specials>|contractions|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+
+# letters group, DIGITS SPLIT INDIVIDUALLY, everything else (incl. '_')
+# groups in runs. Python re has no \p classes: [^\W\d_]+ == unicode
+# letters, \d == one digit, (?:[^\s\w]|_)+ == non-letter/digit/space runs.
+# A bare [\w]+ would glue digits/underscores into letter runs and silently
+# tokenize differently from transformers' CLIPTokenizer.
+import re as _re  # noqa: E402
+
+PRETOKEN_PAT = _re.compile(
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+", _re.IGNORECASE)
+
 
 @dataclasses.dataclass(frozen=True)
 class CLIPTextConfig:
@@ -199,13 +212,15 @@ class CLIPTokenizer:
         return out
 
     def encode(self, text: str) -> List[int]:
-        import re
-        pat = re.compile(
-            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-            r"|[\w]+|[^\s\w]+", re.IGNORECASE)
+        specials = {"<|startoftext|>": self.bos_id,
+                    "<|endoftext|>": self.eos_id}
         ids = []
-        for token in pat.findall(text.lower().strip()):
-            token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+        for token in PRETOKEN_PAT.findall(text.lower().strip()):
+            if token in specials:  # atomic: never byte-BPE'd
+                ids.append(specials[token])
+                continue
+            token = "".join(self.byte_encoder[b]
+                            for b in token.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self._bpe(token))
         return ids
 

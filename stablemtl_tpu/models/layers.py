@@ -156,10 +156,16 @@ class UpsampleConv(nn.Module):
             return upsample2x_conv3x3(x.astype(self.dtype),
                                       kernel.astype(self.dtype),
                                       bias.astype(self.dtype))
-        # irregular geometry (odd skip sizes): literal resize + conv
-        x = jax.image.resize(
-            x, (x.shape[0], output_size[0], output_size[1], cin),
-            method="nearest").astype(self.dtype)
+        # irregular geometry (odd skip sizes): literal resize + conv.
+        # torch F.interpolate(mode='nearest') (reference resnet.py:61)
+        # maps output index i -> floor(i*in/out); jax.image.resize uses
+        # half-pixel centers (floor((i+.5)*in/out)) which picks DIFFERENT
+        # source rows for non-integer ratios — gather explicitly.
+        import numpy as _np
+
+        rows = (_np.arange(output_size[0]) * x.shape[1]) // output_size[0]
+        cols = (_np.arange(output_size[1]) * x.shape[2]) // output_size[1]
+        x = x[:, rows][:, :, cols].astype(self.dtype)
         dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
                                             ("NHWC", "HWIO", "NHWC"))
         y = jax.lax.conv_general_dilated(
@@ -209,43 +215,4 @@ class FeedForward(nn.Module):
         x = GEGLU(inner, dtype=self.dtype, fast_gelu=self.fast_gelu,
                   name="net_0")(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
-        return x
-
-
-class MLP(nn.Module):
-    """2-layer GELU MLP (reference attention.py:655-698); K/V task projector."""
-
-    out_features: int
-    hidden_features: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
-        return x
-
-
-class MLPv2(nn.Module):
-    """Deeper GELU MLP (reference attention.py:701-752); Q task projector.
-
-    layer sizes: in -> hidden -> [hidden]*num_hidden_layers -> out.
-    """
-
-    out_features: int
-    hidden_features: int
-    num_hidden_layers: int = 1
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="net_0")(x)
-        x = nn.gelu(x, approximate=False)
-        for i in range(self.num_hidden_layers):
-            x = nn.Dense(self.hidden_features, dtype=self.dtype,
-                         name=f"net_{2 * (i + 1)}")(x)
-            x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out_features, dtype=self.dtype,
-                     name=f"net_{2 * (self.num_hidden_layers + 1)}")(x)
         return x

@@ -76,8 +76,6 @@ def _leaf(name: str, w: np.ndarray, is_conv: bool):
     raise KeyError(name)
 
 
-_CONV_HINTS = ("conv", "downsamplers", "upsamplers", "quant_conv")
-
 
 def _is_conv(torch_key: str, w: np.ndarray) -> bool:
     return w.ndim == 4
@@ -138,13 +136,29 @@ def convert_unet_state_dict(sd: Dict[str, np.ndarray],
                      _linear_kernel(leaves["weight"]))
                 _set(tree, ta_path + ["to_out_task_bias"], leaves["bias"])
                 continue
-            # stack per-task leaves in canonical order
+            # stack per-task leaves in canonical order; tasks absent from
+            # the checkpoint's ModuleDict get identity-ish fills (LN scale
+            # -> 1, everything else -> 0) and a LOUD warning — silent
+            # zero-scale LayerNorms would make those tasks produce garbage
+            # without any error
+            missing = [t for t in tasks if t not in taskmap]
+            if missing:
+                import sys
+
+                print(f"WARNING: checkpoint has no '{bank}' weights for "
+                      f"tasks {missing} at {prefix}; filling identity-ish "
+                      f"(these tasks were not trained in this checkpoint)",
+                      file=sys.stderr)
             sample = taskmap[tasks[0] if tasks[0] in taskmap else
                              next(iter(taskmap))]
             for rest in sample:
+                is_ln_scale = (bank.startswith("task_norm")
+                               and rest == "weight")
+                fill = (np.ones_like(sample[rest]) if is_ln_scale
+                        else np.zeros_like(sample[rest]))
                 stacked = np.stack([
-                    taskmap[t][rest] if t in taskmap else
-                    np.zeros_like(sample[rest]) for t in tasks])
+                    taskmap[t][rest] if t in taskmap else fill
+                    for t in tasks])
                 _set_bank_leaf(tree, ta_path, bank, rest, stacked)
     return tree
 

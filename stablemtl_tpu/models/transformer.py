@@ -245,7 +245,13 @@ class TaskAttentionBank(nn.Module):
         if task_key_bias is not None:
             scores = scores + task_key_bias  # [T] broadcast over b,n,h
 
-        bias = self._mask_bias(scores, T_aux, train)
+        # In the task_kv path the key axis is ALL n_tasks with excluded
+        # tasks -inf-biased, not the gathered T_aux subset: tell the mask
+        # sampler which keys are real so 'random'/'random_k' never target
+        # (or count) already-excluded keys.
+        key_valid = (None if task_key_bias is None
+                     else task_key_bias > NEG_INF / 2)
+        bias = self._mask_bias(scores, T_aux, train, key_valid=key_valid)
         if bias is not None:
             scores = scores + bias  # [T_aux] broadcast over b,n,h
 
@@ -260,11 +266,16 @@ class TaskAttentionBank(nn.Module):
         b_out = self.param("to_out_task_bias", zeros, (C,))
         return out @ w_out.astype(self.dtype) + b_out.astype(self.dtype)
 
-    def _mask_bias(self, scores, T_aux: int, train: bool):
+    def _mask_bias(self, scores, T_aux: int, train: bool, key_valid=None):
         """Stochastic task-masking regularizer (attention.py:522-583).
 
         With prob attn_mask_ratio, pick task(s) from the mean attention
         distribution (strategy-dependent) and bias their keys to -inf.
+        key_valid ([T] bool or None): which keys are real — in the task_kv
+        layout the axis spans ALL tasks and the main task is already
+        -inf-excluded; without this, 'random' could waste its pick on the
+        excluded key (silently lowering the effective mask ratio) and
+        'attn_prob_random_k' could mask ALL real keys.
         """
         if not train or self.attn_mask_ratio <= 0.0 or T_aux <= 1:
             return None
@@ -272,6 +283,8 @@ class TaskAttentionBank(nn.Module):
         k_gate, k_pick, k_k = jax.random.split(key, 3)
         do_mask = jax.random.bernoulli(k_gate, self.attn_mask_ratio)
 
+        # excluded keys already carry -inf in `scores`, so their mean prob
+        # is ~0 and 'attn_prob'/'highest' avoid them by construction
         mean_probs = jax.lax.stop_gradient(
             jax.nn.softmax(scores, axis=-1).mean(axis=(0, 1, 2)))  # [T_aux]
 
@@ -279,16 +292,25 @@ class TaskAttentionBank(nn.Module):
             idx = jax.random.categorical(k_pick, jnp.log(mean_probs + 1e-20))
             mask = jax.nn.one_hot(idx, T_aux, dtype=jnp.float32)
         elif self.attn_mask_type == "random":
-            idx = jax.random.randint(k_pick, (), 0, T_aux)
+            if key_valid is None:
+                idx = jax.random.randint(k_pick, (), 0, T_aux)
+            else:  # uniform over the REAL keys only
+                idx = jax.random.categorical(
+                    k_pick, jnp.where(key_valid, 0.0, NEG_INF))
             mask = jax.nn.one_hot(idx, T_aux, dtype=jnp.float32)
         elif self.attn_mask_type == "highest":
             mask = jax.nn.one_hot(jnp.argmax(mean_probs), T_aux,
                                   dtype=jnp.float32)
         elif self.attn_mask_type == "attn_prob_random_k":
             # multinomial without replacement == Gumbel top-k
-            n_mask = jax.random.randint(k_k, (), 1, T_aux)
+            n_real = (jnp.asarray(T_aux) if key_valid is None
+                      else key_valid.sum())
+            n_mask = jax.random.randint(k_k, (), 1,
+                                        jnp.maximum(n_real, 2))
             g = jnp.log(mean_probs + 1e-20) - jnp.log(
                 -jnp.log(jax.random.uniform(k_pick, (T_aux,)) + 1e-20) + 1e-20)
+            if key_valid is not None:
+                g = jnp.where(key_valid, g, -jnp.inf)
             rank = jnp.argsort(jnp.argsort(-g))
             mask = (rank < n_mask).astype(jnp.float32)
         else:
@@ -381,6 +403,7 @@ class Transformer2D(nn.Module):
     n_attns: int = 4
     attn_mask_ratio: float = 0.0
     attn_mask_type: str = "attn_prob"
+    norm_groups: int = 32  # diffusers threads the UNet's norm_num_groups here
     dtype: jnp.dtype = jnp.float32
     fast_math: bool = False
 
@@ -392,7 +415,8 @@ class Transformer2D(nn.Module):
         inner = self.heads * self.dim_head
         residual = x
         ndt = self.dtype if self.fast_math else jnp.float32
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=ndt, name="norm")(x)
+        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=ndt,
+                         name="norm")(x)
         h = h.reshape(B, H * W, C).astype(self.dtype)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
         h, tap_feat = BasicTransformerBlock(

@@ -107,7 +107,8 @@ class UNet2DConditionModel(nn.Module):
             heads=heads, dim_head=dim_head,
             n_tasks=cfg.n_tasks, use_task_attention=use_task,
             n_attns=cfg.n_attns, attn_mask_ratio=cfg.attn_mask_ratio,
-            attn_mask_type=cfg.attn_mask_type, dtype=cfg.jnp_dtype,
+            attn_mask_type=cfg.attn_mask_type,
+            norm_groups=cfg.norm_groups, dtype=cfg.jnp_dtype,
             fast_math=cfg.fast_math, name=name,
         )
 
@@ -243,7 +244,12 @@ def task_feat_shapes(config: UNetConfig, height: int, width: int):
     ch = config.block_out_channels
     heads = config.attention_heads
     inner = [ch[i] // heads[i] * heads[i] for i in range(len(ch))]
-    res = [(height >> i) * (width >> i) for i in range(4)]
+    # each Downsample is a pad-(1,1) stride-2 conv -> ceil(x/2) per level
+    # (a >> would floor and report wrong token counts for odd sizes)
+    res, h, w = [], height, width
+    for _ in range(4):
+        res.append(h * w)
+        h, w = -(-h // 2), -(-w // 2)
     shapes = []
     for i in range(3):                       # down blocks 0..2
         shapes += [(res[i], inner[i])] * config.layers_per_block

@@ -58,9 +58,10 @@ class _TorchTransformer2DTap(tnn.Module):
     (out, tap) where tap = self-attn branch output after to_out, before the
     residual add (reference attention.py:345-349 afterSelfAttn_residual)."""
 
-    def __init__(self, C, ctx_dim, heads):
+    def __init__(self, C, ctx_dim, heads, groups=32):
         super().__init__()
-        self.norm = tnn.GroupNorm(32, C, eps=1e-6)
+        # diffusers threads the UNet's norm_num_groups into Transformer2D
+        self.norm = tnn.GroupNorm(groups, C, eps=1e-6)
         self.proj_in = tnn.Linear(C, C)
         blk = tnn.Module()
         blk.norm1 = tnn.LayerNorm(C)
@@ -131,7 +132,7 @@ class _TorchTinyUNet(tnn.Module):
             cin = ch[i]
             if i < n - 1:  # attention on all but the last down block
                 blk.attentions = tnn.ModuleList(
-                    _TorchTransformer2DTap(ch[i], ctx_dim, heads[i])
+                    _TorchTransformer2DTap(ch[i], ctx_dim, heads[i], groups)
                     for _ in range(lpb))
                 ds = tnn.Module()
                 ds.conv = tnn.Conv2d(ch[i], ch[i], 3, stride=2, padding=1)
@@ -142,7 +143,7 @@ class _TorchTinyUNet(tnn.Module):
         self.mid_block.resnets = tnn.ModuleList(
             [res(ch[-1], ch[-1]), res(ch[-1], ch[-1])])
         self.mid_block.attentions = tnn.ModuleList(
-            [_TorchTransformer2DTap(ch[-1], ctx_dim, heads[-1])])
+            [_TorchTransformer2DTap(ch[-1], ctx_dim, heads[-1], groups)])
 
         # skip channels in pop order, mirroring the down-path pushes
         skip_ch = [ch[0]]
@@ -163,7 +164,7 @@ class _TorchTinyUNet(tnn.Module):
                 cin = rev_ch[i]
             if i > 0:  # attention on all but the first up block
                 blk.attentions = tnn.ModuleList(
-                    _TorchTransformer2DTap(rev_ch[i], ctx_dim, rev_heads[i])
+                    _TorchTransformer2DTap(rev_ch[i], ctx_dim, rev_heads[i], groups)
                     for _ in range(lpb + 1))
             if i < n - 1:
                 up = tnn.Module()

@@ -148,3 +148,99 @@ def test_clip_text_model_and_tokenizer():
     assert not np.allclose(np.asarray(emb[0]), np.asarray(emb[1]))
     # deterministic tokenization
     np.testing.assert_array_equal(ids, tokenize_batch(tok, prompts))
+
+
+def test_irregular_upsample_matches_torch_nearest():
+    """Odd-geometry up path: torch F.interpolate(mode='nearest') maps
+    output row i -> floor(i*in/out); jax.image.resize would pick different
+    rows (half-pixel centers). Compare the full Upsample layer against a
+    torch twin on a non-integer ratio (3x4 -> 5x7)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from stablemtl_tpu.models.layers import Upsample
+
+    rng = np.random.RandomState(0)
+    x = rng.standard_normal((1, 3, 4, 2)).astype(np.float32)
+    up = Upsample(channels=2)
+    params = up.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                     output_size=(5, 7))
+    got = np.asarray(up.apply(params, jnp.asarray(x), output_size=(5, 7)))
+
+    k = np.asarray(params["params"]["conv"]["kernel"])  # [3,3,I,O]
+    b = np.asarray(params["params"]["conv"]["bias"])
+    tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    tx = F.interpolate(tx, size=(5, 7), mode="nearest")
+    ty = F.conv2d(tx, torch.from_numpy(k.transpose(3, 2, 0, 1)),
+                  torch.from_numpy(b), padding=1)
+    want = ty.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_task_feat_shapes_odd_geometry():
+    """Stride-2 downsamples produce ceil(x/2); the tap-shape helper must
+    report the ACTUAL token counts for odd latent sizes."""
+    cfg = tiny_unet_config()
+    child = UNet2DConditionModel(cfg)
+    H, W = 9, 12
+    text = jnp.zeros((1, 4, cfg.cross_attention_dim))
+    _, taps = jax.eval_shape(
+        lambda r: child.init_with_output(
+            r, jnp.zeros((1, H, W, 12)), jnp.zeros((1,), jnp.int32), text,
+            tap="afterSelfAttn_residual")[0],
+        jax.random.PRNGKey(0))
+    want = task_feat_shapes(cfg, H, W)
+    got = [(t.shape[1], t.shape[2]) for t in taps]
+    assert got == want
+
+
+def test_clip_pretokenization_matches_reference_pattern():
+    """CLIP splits digits individually and groups non-letter runs (incl.
+    '_'); a naive \\w+ regex silently tokenizes differently."""
+    from stablemtl_tpu.models.clip import PRETOKEN_PAT
+
+    cases = {
+        "512": ["5", "1", "2"],
+        "optical_flow": ["optical", "_", "flow"],
+        "a!!b": ["a", "!!", "b"],
+        "it's 4k!": ["it", "'s", "4", "k", "!"],
+        "<|endoftext|>": ["<|endoftext|>"],
+    }
+    for text, want in cases.items():
+        assert PRETOKEN_PAT.findall(text) == want, text
+
+
+def test_random_mask_strategy_never_targets_excluded_key():
+    """task_kv layout: the key axis spans ALL tasks with the main task
+    -inf-excluded. 'random' masking must pick among REAL keys only —
+    targeting the excluded key would be a silent no-op (output equal to
+    the unmasked forward)."""
+    from stablemtl_tpu.models.transformer import TaskAttentionBank
+
+    T, B, N, C = 3, 1, 4, 8
+    bank = TaskAttentionBank(dim=C, n_tasks=T, n_attns=2,
+                             attn_mask_ratio=1.0, attn_mask_type="random")
+    rng = np.random.RandomState(0)
+    hid = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    kv = (jnp.asarray(rng.standard_normal((T, B, N, C)), jnp.float32),
+          jnp.asarray(rng.standard_normal((T, B, N, C)), jnp.float32))
+    key_bias = jnp.where(jnp.arange(T) == 0, -1e9, 0.0)
+    params = bank.init(jax.random.PRNGKey(0), hid, None, jnp.asarray(0),
+                       None, task_kv=kv, task_key_bias=key_bias)
+    # non-zero out proj so masking is visible in the output
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.standard_normal(p.shape) * 0.1,
+                              p.dtype), params)
+
+    def run(train, seed):
+        return np.asarray(bank.apply(
+            params, hid, None, jnp.asarray(0), None, task_kv=kv,
+            task_key_bias=key_bias, train=train,
+            rngs={"taskmask": jax.random.PRNGKey(seed)} if train else None))
+
+    unmasked = run(False, 0)
+    for seed in range(24):
+        out = run(True, seed)
+        # attn_mask_ratio=1.0: some REAL key is always masked, so the
+        # output must never collapse to the unmasked forward
+        assert np.abs(out - unmasked).max() > 1e-7, seed
