@@ -72,16 +72,18 @@ class AugmentationConfig:
             return v.get("enabled", False) if hasattr(v, "get") else \
                 getattr(v, "enabled", False)
 
+        def sub(node, key, default=None):
+            if node is None:
+                return default
+            return node.get(key, default) if hasattr(node, "get") else \
+                getattr(node, key, default)
+
         crop = get("random_crop")
-        crop_size = None
-        if crop is not None and (crop.get("enabled", False)
-                                 if hasattr(crop, "get") else False):
-            crop_size = tuple(crop.get("crop_size"))
+        crop_size = tuple(sub(crop, "crop_size")) \
+            if sub(crop, "enabled", False) else None
         scale = get("random_scale")
-        scale_range = None
-        if scale is not None and (scale.get("enabled", False)
-                                  if hasattr(scale, "get") else False):
-            scale_range = tuple(scale.get("scale_range"))
+        scale_range = tuple(sub(scale, "scale_range")) \
+            if sub(scale, "enabled", False) else None
         return AugmentationConfig(
             enabled=bool(get("enabled", False)), color_jitter=cjc,
             lr_flip=flag("random_horizontal_flip"),
@@ -165,8 +167,17 @@ def color_jitter(images_u8, cfg: ColorJitterConfig, rng: np.random.Generator):
         ops.append(("h", rng.uniform(-cfg.hue, cfg.hue)))
     order = rng.permutation(len(ops))
 
+    # The reference concatenates a frame pair and applies ONE ColorJitter
+    # to the stacked image (flow_augmentation.py:7-17): the contrast op's
+    # grayscale mean is computed over BOTH frames together. Per-frame
+    # means would blend the two frames toward different anchors — a
+    # constant intensity offset between images the model matches pixels
+    # across.
+    joint = len(imgs) > 1 and all(i.shape == imgs[0].shape for i in imgs)
+    work = [np.concatenate(imgs, axis=0)] if joint else imgs
+
     out = []
-    for img in imgs:
+    for img in work:
         x = img.astype(np.float32) / 255.0
         for i in order:
             kind, f = ops[i]
@@ -181,6 +192,9 @@ def color_jitter(images_u8, cfg: ColorJitterConfig, rng: np.random.Generator):
             else:
                 x = np.clip(_adjust_hue(x, f), 0, 1)
         out.append((x * 255.0).astype(np.uint8))
+    if joint:
+        h = imgs[0].shape[0]
+        out = [out[0][i * h:(i + 1) * h] for i in range(len(imgs))]
     return out[0] if single else out
 
 

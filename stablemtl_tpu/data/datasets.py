@@ -13,11 +13,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..utils.normalizers import (
-    ScaleShiftDepthNormalizer,
-    normalize_optical_flow,
-    normalize_scene_flow,
-)
+from ..utils.normalizers import normalize_optical_flow, normalize_scene_flow
 from .augmentation import (
     joint_albedo_or_shading_augmentation,
     joint_depth_augmentation,
@@ -310,7 +306,6 @@ class KITTIDataset(MTLDataset):
         assert valid_mask_crop in (None, "garg", "eigen")
         self.valid_mask_crop = valid_mask_crop
         self.filenames = [f for f in self.filenames if f[1] != "None"]
-        self._normalizer = ScaleShiftDepthNormalizer()
 
     def _get_data_item(self, index, rng):
         rgb_rel, depth_rel = self.filenames[index][:2]
@@ -524,8 +519,7 @@ class FlyingThings3DSceneFlowDataset(FlyingThings3DDataset):
             .replace(".png", ".npy")
         img0 = self._center_crop(self._rgb(rgb_rel))
         img1 = self._center_crop(self._rgb(next_rgb_rel))
-        import io as _io
-        pc1 = np.load(_io.BytesIO(self.src._bytes(pc_rel)))["pc1"]
+        pc1 = self.src.read_npy(pc_rel)["pc1"]
         flow_3d = self.src.read_npy(f3d_rel)
         h, w = img0.shape[:2]
         scene_flow, mask = self.project_flow_3d_to_2d(flow_3d, pc1, h, w)

@@ -95,6 +95,21 @@ class MixedTaskLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         _END = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """put() that gives up when the consumer is gone — a plain
+            blocking put would park this thread forever on a full queue
+            after the caller abandons the generator (exit_after, an
+            exception in the train step), leaking the thread AND leaving
+            it to race a later batches() call on the shared schedule."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             # A worker failure must fail the TRAINING LOOP, not silently end
@@ -102,17 +117,30 @@ class MixedTaskLoader:
             # sample): enqueue the exception and re-raise in the consumer.
             try:
                 for b in gen():
-                    q.put(b)
-                q.put(_END)
+                    if not _put(b):
+                        return
+                _put(_END)
             except BaseException as e:  # noqa: BLE001 — relayed, not handled
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # normal end, consumer break, or exception: stop the worker and
+            # drain so a blocked put wakes, then join before the schedule
+            # can be reused (fast_forward resets shared state)
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=10)

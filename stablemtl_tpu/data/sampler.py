@@ -10,7 +10,8 @@ Semantics preserved:
   `accumulation_steps` micro-batches of an effective batch share one task
   (mixed_sampler.py:91-97).
 - dataset within the task chosen by normalized probability (multinomial,
-  :98-103); default prob proportional to the dataset's batch count.
+  :98-103) PER MICRO-BATCH — one effective batch mixes the shared task's
+  datasets; default prob proportional to the dataset's batch count.
 - per-dataset sample order: a fresh permutation per pass (shuffle), batches
   drawn with drop_last (:40-66).
 """
@@ -83,13 +84,23 @@ class MixedTaskSchedule:
         self._queues[ds_idx] = batches
 
     def _draw(self, step: int) -> int:
-        """Dataset index for micro-batch `step` (pure in (seed, step))."""
+        """Dataset index for micro-batch `step` (pure in (seed, step)).
+
+        The reference draws the dataset multinomial — and, in
+        non-iterative mode, the task — PER MICRO-BATCH from its stateful
+        generator (mixed_sampler.py:90-105): one effective batch shares a
+        task but mixes that task's datasets across its micro-batches. The
+        choice draws are therefore seeded by the micro `step`; seeding by
+        the effective index would repeat one dataset for all
+        accumulation_steps micro-batches — a materially different
+        training data distribution.
+        """
         eff = step // self.accumulation_steps
         rng = np.random.default_rng(
-            np.random.SeedSequence([self.seed, 104729, eff]))
+            np.random.SeedSequence([self.seed, 104729, step]))
         n_tasks = len(self.task_keys)
         if self.iterative_sampling:
-            task_idx = eff % n_tasks
+            task_idx = eff % n_tasks  # task IS shared per eff batch (:93)
         else:
             task_idx = int(rng.integers(n_tasks))
         entries = self.tasks[self.task_keys[task_idx]]
