@@ -44,7 +44,10 @@ def l1_loss_with_mask(pred, target, valid_mask=None, batch_reduction=False):
     return loss
 
 
-def mean_abs_rel_loss(pred, target):
+def mean_abs_rel_loss(pred, target, valid_mask=None):
+    # valid_mask accepted for the uniform get_loss(pred, target, mask)
+    # calling convention; the reference MeanAbsRelLoss ignores masks too
+    # (loss.py:106-113)
     return jnp.mean(jnp.abs((pred - target) / target), axis=0)
 
 

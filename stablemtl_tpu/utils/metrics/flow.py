@@ -5,10 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 
-
-def _l2_normalize(x, axis, eps=1e-12):
-    n = np.linalg.norm(x, axis=axis, keepdims=True)
-    return x / np.maximum(n, eps)
+from .normal import _l2_normalize
 
 
 class OpticalFlowMetrics:

@@ -21,6 +21,8 @@ def mean_angular_error(output, target, valid_mask=None):
     cos = np.clip((o * t).sum(axis=1, keepdims=True), -1.0, 1.0)
     err = np.arccos(cos) * 180.0 / np.pi
 
+    if valid_mask is None:  # advertised default: all pixels valid
+        valid_mask = np.ones_like(err)
     err = err * valid_mask
     n = valid_mask.sum((-1, -2))
     return float((err.sum((-1, -2)) / n).mean())

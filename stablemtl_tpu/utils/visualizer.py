@@ -31,11 +31,14 @@ def tone_map(brightness: np.ndarray, gamma: float = 1.0 / 2.2,
     hypersim_util.py:44-83)."""
     b = np.clip(brightness, 0, None).astype(np.float64)
     bp = np.percentile(b, percentile)
-    if bp > 0:
+    # reference blacks out when the percentile brightness is below eps
+    # (hypersim_util.py:64-78) — a near-zero bp would otherwise amplify
+    # noise by ~1/bp instead
+    if bp < 1e-4:
+        scale = 0.0
+    else:
         scale = np.power(brightness_nth_percentile_desired,
                          1.0 / gamma) / bp
-    else:
-        scale = 1.0
     return np.clip(np.power(scale * b, gamma), 0.0, 1.0)
 
 
@@ -69,6 +72,10 @@ def colorize_depth(depth: np.ndarray, min_depth: Optional[float] = None,
         vm = np.isfinite(d)
     lo = float(d[vm].min()) if min_depth is None else min_depth
     hi = float(d[vm].max()) if max_depth is None else max_depth
+    # non-finite pixels must be neutralized BEFORE the colormap index
+    # math: floor(NaN).astype(int) is INT64_MIN and would raise an
+    # IndexError inside _spectral (they are blacked out below anyway)
+    d = np.where(np.isfinite(d), d, lo)
     x = (d - lo) / max(hi - lo, 1e-8)
     img = _spectral(x).astype(np.uint8)
     img[~vm] = 0
