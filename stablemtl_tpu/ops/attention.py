@@ -46,11 +46,14 @@ def dot_product_attention(q, k, v, bias=None, use_flash: bool | None = None):
     if use_flash is None:
         import os
 
+        # parse, don't truth-test: "0"/"false" must mean NOT disabled
+        disable = os.environ.get("STABLEMTL_DISABLE_FLASH", "")
+        disable = disable.strip().lower() in ("1", "true", "yes", "on")
         use_flash = (
             seq_q >= FLASH_MIN_SEQ
             and q.shape[1] == k.shape[1]
             and jax.default_backend() == "tpu"
-            and not os.environ.get("STABLEMTL_DISABLE_FLASH")
+            and not disable
         )
     if use_flash:
         from .flash_attention import flash_attention
@@ -58,5 +61,9 @@ def dot_product_attention(q, k, v, bias=None, use_flash: bool | None = None):
         return flash_attention(q, k, v, bias=bias)
     try:
         return jax.nn.dot_product_attention(q, k, v, bias=bias)
-    except Exception:
+    except (TypeError, ValueError, NotImplementedError):
+        # only configuration rejections (unsupported head dim/bias rank on
+        # this backend) fall back to the [S,S]-materializing einsum; a
+        # bare except would silently absorb genuine caller bugs into a
+        # much slower, memory-hungry path
         return _xla_attention(q, k, v, bias=bias)

@@ -244,14 +244,11 @@ def _flash_backward(q, k, v, out, lse, g):
 
 
 def _xla_reference(q, k, v):
-    d = q.shape[-1]
-    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
-                     preferred_element_type=jnp.float32)
-    return out.astype(q.dtype)
+    # single source of truth for the reference math (dedup: a precision
+    # fix there must also reach this vjp fallback)
+    from .attention import _xla_attention
+
+    return _xla_attention(q, k, v)
 
 
 @jax.custom_vjp

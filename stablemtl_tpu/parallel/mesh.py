@@ -73,13 +73,15 @@ def shard_batch(batch, mesh: Mesh):
     n_data = mesh.shape[DATA_AXIS]
 
     def place(path, x):
-        x = np.asarray(x)
-        if x.ndim == 0:
+        # metadata only — np.asarray on an already-device-resident leaf
+        # would force a device->host fetch through the tunnel first
+        shape = np.shape(x)
+        if len(shape) == 0:
             return jax.device_put(x, rep)
-        if x.shape[0] == 0 or x.shape[0] % n_data != 0:
+        if shape[0] == 0 or shape[0] % n_data != 0:
             raise ValueError(
                 f"shard_batch: leaf {jax.tree_util.keystr(path)} has leading "
-                f"dim {x.shape[0]}, not divisible by the mesh data axis "
+                f"dim {shape[0]}, not divisible by the mesh data axis "
                 f"({n_data}); this would silently replicate instead of "
                 f"sharding. Fix the batch size (or pass a 0-d scalar for "
                 f"per-batch values like task_idx).")

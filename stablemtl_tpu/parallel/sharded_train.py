@@ -119,9 +119,15 @@ def make_sharded_train_step(pipeline: StableMTLPipeline, mesh: Mesh,
     """
     inner = make_train_step(pipeline, base_seed=base_seed, donate=False,
                             compute_grad_stats=compute_grad_stats)
-    frozen = inner.frozen
     rep = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
+    # place the frozen trees (VAE + text table + child UNet — multi-GB
+    # when loaded from converted .npz as host numpy) on device ONCE:
+    # numpy jit args are re-shipped on EVERY call (CLAUDE.md hazard,
+    # measured 4.07 -> 0.66 img/s of transfer noise)
+    frozen = jax.device_put(inner.frozen,
+                            jax.tree_util.tree_map(lambda _: rep,
+                                                   inner.frozen))
 
     # Build sharding pytrees from a template state placed per policy.
     def state_shardings(state: TrainState):
@@ -137,10 +143,13 @@ def make_sharded_train_step(pipeline: StableMTLPipeline, mesh: Mesh,
     compiled = {}
 
     def step(state: TrainState, batch):
-        ss = state_shardings(state)
         key = tuple(sorted((k, tuple(np.shape(v)))
                            for k, v in batch.items()))
         if key not in compiled:
+            # sharding pytrees only matter at compile time; rebuilding
+            # NamedShardings for ~1500 leaves every step is pure host
+            # overhead on the hot path
+            ss = state_shardings(state)
             batch_s = {k: (bsh if np.ndim(v) >= 1 else rep)
                        for k, v in batch.items()}
             frozen_s = jax.tree_util.tree_map(lambda _: rep, frozen)
