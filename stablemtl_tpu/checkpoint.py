@@ -61,9 +61,15 @@ class CheckpointManager:
                 json.dump(_jsonable(meta), f, indent=2)
         return path
 
-    def save_backup(self, state: TrainState, meta: Optional[dict] = None):
-        """Immutable iter_XXXXXX backup (trainer save_period/backup_period)."""
-        return self.save(state, meta, name=f"iter_{int(state.step):06d}",
+    def save_backup(self, state: TrainState, meta: Optional[dict] = None,
+                    step: Optional[int] = None):
+        """Immutable iter_XXXXXX backup (trainer save_period/backup_period).
+
+        `step` names the directory (the trainer passes the EFFECTIVE iter,
+        matching the reference's iter_XXXXXX contract); defaults to the
+        state's micro-step counter."""
+        s = int(state.step) if step is None else int(step)
+        return self.save(state, meta, name=f"iter_{s:06d}",
                          overwrite=False)
 
     # -- restore ---------------------------------------------------------
@@ -107,11 +113,13 @@ class CheckpointManager:
 def restore_params(ckpt_dir: str, params_template, name: str = LATEST):
     """Structure-free restore of (step, params) straight into a params
     pytree — for inference entry points (serve CLI, Predictor setups) that
-    never build a TrainState. Dtypes follow the template leaves."""
+    never build a TrainState. Dtypes follow the template leaves (read from
+    .dtype metadata only — np.asarray on a device-resident template leaf
+    would fetch GBs through the low-bandwidth tunnel)."""
     ckptr = ocp.StandardCheckpointer()
     raw = ckptr.restore(os.path.join(os.path.abspath(ckpt_dir), name))
     params = jax.tree_util.tree_map(
-        lambda tgt, new: np.asarray(new).astype(np.asarray(tgt).dtype)
+        lambda tgt, new: np.asarray(new).astype(tgt.dtype)
         if hasattr(tgt, "dtype") else new,
         params_template, raw["params"])
     return int(np.asarray(raw["step"])), params

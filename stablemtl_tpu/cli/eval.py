@@ -37,14 +37,8 @@ def main(argv=None):
                              "still per-sample)")
     args = parser.parse_args(argv)
 
-    from ..checkpoint import CheckpointManager
-    from ..factory import (
-        build_optimizer_config,
-        build_pipeline,
-        build_val_datasets,
-        class_colors,
-    )
-    from ..train_state import create_train_state
+    from ..factory import build_pipeline, build_val_datasets, class_colors
+    from ..train_state import eval_state
     from ..trainer import StableMTLTrainer, TrainerConfig
     from ..utils.compilation_cache import enable_persistent_cache
     from ..utils.logging_util import (
@@ -65,16 +59,26 @@ def main(argv=None):
     setup_logging(os.path.join(args.output_dir, "eval.log"))
     log = logging.getLogger("eval")
 
+    import jax
+
     pipeline = build_pipeline(cfg, seed=args.seed)
-    state = create_train_state(pipeline.unet_params,
-                               build_optimizer_config(cfg, 1))
+    step, params = 0, pipeline.unet_params
     if args.checkpoint:
         # params-only restore: the checkpoint's opt_state tree depends on the
         # training accumulation_steps (MultiStepsState) and is irrelevant to
-        # eval (reference loads only the UNet, eval_mtl.py:317-344)
-        mgr = CheckpointManager(args.checkpoint)
-        state = mgr.restore_params_only(state)
-        log.info("restored checkpoint params at step %d", int(state.step))
+        # eval (reference loads only the UNet, eval_mtl.py:317-344) — no
+        # optimizer is constructed at all (Adam moments are ~2x params of
+        # wasted HBM on an inference-only chip)
+        from ..checkpoint import restore_params
+
+        step, params = restore_params(args.checkpoint, params)
+        log.info("restored checkpoint params at step %d", step)
+    # device-resident ONCE: host-numpy params would be re-shipped on every
+    # jitted eval call (CLAUDE.md hazard, measured 6x slowdown)
+    state = eval_state(jax.device_put(params), step)
+    # drop the builder's copy — eval rebinds from state.params (same
+    # single-copy pattern as cli/train.py)
+    pipeline.unet_params = None
 
     datasets = build_val_datasets(cfg, args.base_data_dir, args.split)
     trainer = StableMTLTrainer(

@@ -155,7 +155,17 @@ def main(argv=None):
     if not args.no_resume:
         trainer.maybe_resume()
     trainer.train()
-    ckpt.save(trainer.state, meta={"finished": True})
+    # final save only when the run actually completed — an exit_after
+    # interruption already wrote `latest` with interrupted meta, and
+    # overwriting it here would (a) drop best_metric/loss_ema from the
+    # meta (resume would then treat any later validation as a new best)
+    # and (b) mark an unfinished run finished
+    if trainer.effective_iter >= tcfg.max_iter:
+        ckpt.save(trainer.state,
+                  meta={"finished": True,
+                        "effective_iter": trainer.effective_iter,
+                        "loss_ema": trainer.loss_ema,
+                        "best_metric": trainer.best_metric})
     log.info("training done at step %d", int(trainer.state.step))
 
 

@@ -256,8 +256,17 @@ def load_pretrained(path: str, vae_params, unet_params, child_params,
             child_npz = os.path.join(path, "unet.npz")
         child_params = load_over(child_params, child_npz, "unet_child")
     table_path = os.path.join(path, "text_table.npy")
-    table = np.load(table_path) if os.path.exists(table_path) else \
-        np.zeros((N_TASKS, 5, text_dim), np.float32)
+    if os.path.exists(table_path):
+        table = np.load(table_path)
+    else:
+        # all-zero conditioning makes every task produce garbage with no
+        # error downstream — this must be LOUD (same contract as the
+        # per-key mismatch reporting above)
+        log.warning("%s missing: text conditioning falls back to an "
+                    "ALL-ZERO task-embedding table — predictions will be "
+                    "meaningless until a real table is provided "
+                    "(tools/convert_sd2.py writes it)", table_path)
+        table = np.zeros((N_TASKS, 5, text_dim), np.float32)
     return vae_params, unet_params, child_params, table
 
 

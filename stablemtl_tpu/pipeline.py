@@ -369,7 +369,11 @@ class StableMTLPipeline:
 
         def one_task(main_idx):
             rgb_lat = self.rgb_latent_for_task(lat, lat_next, main_idx)
-            noise = self.noise_latent(rgb_lat[..., :4], rng)
+            # per-stream independent draws under input_noise='random'
+            # (one shared key would give every task stream byte-identical
+            # noise; the reference draws fresh randn per forward)
+            r = None if rng is None else jax.random.fold_in(rng, main_idx)
+            noise = self.noise_latent(rgb_lat[..., :4], r)
             x = jnp.concatenate([rgb_lat, noise], axis=-1)
             text = self.text_embed(main_idx, B)
             if self.is_multi_stream and with_task_attention:
@@ -403,7 +407,12 @@ class StableMTLPipeline:
         """
         B = lat.shape[0]
         rgb_lat = self.rgb_latent_for_task(lat, lat_next, task_idx)
-        noise = self.noise_latent(rgb_lat[..., :4], rng)
+        # independent draws for the main noise group and the child-feats
+        # noise group (input_noise='random' only; the reference calls
+        # torch.randn separately per forward, pipeline:557-562)
+        r_main = None if rng is None else jax.random.fold_in(rng, 0)
+        r_child = None if rng is None else jax.random.fold_in(rng, 1)
+        noise = self.noise_latent(rgb_lat[..., :4], r_main)
         # concat order is load-bearing (pipeline:582-584):
         # [rgb_latent(8) | output_noise(4)]
         x = jnp.concatenate([rgb_lat, noise], axis=-1)
@@ -413,7 +422,7 @@ class StableMTLPipeline:
         task_feats = None
         if self.is_multi_stream:
             aux_idx, task_feats = self.create_task_feats(
-                lat, lat_next, task_idx, rng)
+                lat, lat_next, task_idx, r_child)
             main_idx = task_idx
 
         t = jnp.full((B,), FIXED_TIMESTEP, jnp.int32)

@@ -139,6 +139,15 @@ def create_train_state(unet_params, cfg: OptimizerConfig) -> TrainState:
                       opt_state=tx.init(unet_params), tx=tx)
 
 
+def eval_state(unet_params, step: int = 0) -> TrainState:
+    """Params-only state for eval/serving entry points. No optimizer is
+    constructed — tx.init would allocate Adam moments (~2x params) on a
+    chip that only needs inference; the reference eval likewise loads only
+    the UNet weights (eval_mtl.py:317-344)."""
+    return TrainState(step=jnp.asarray(step, jnp.int32),
+                      params=unet_params, opt_state=None, tx=None)
+
+
 # ---------------------------------------------------------------------------
 # Loss pieces
 # ---------------------------------------------------------------------------

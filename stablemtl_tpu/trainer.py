@@ -91,16 +91,36 @@ class StableMTLTrainer:
     def maybe_resume(self) -> int:
         if self.ckpt is not None and self.ckpt.exists():
             self.state = self.ckpt.restore(self.state)
-            self.best_metric = self.ckpt.load_meta().get("best_metric")
+            meta = self.ckpt.load_meta()
+            self.best_metric = meta.get("best_metric")
+            # continue the logged loss curves instead of restarting the
+            # EMAs from the first post-resume raw loss
+            self.loss_ema = dict(meta.get("loss_ema") or {})
             log.info("resumed from checkpoint at step %d",
                      int(self.state.step))
             # interrupted-validation parity (reference in_evaluation flag,
-            # stablemtl_trainer.py:496-505,1195): redo it on resume
-            if self.ckpt.load_meta().get("in_evaluation") \
-                    and self.val_datasets:
+            # stablemtl_trainer.py:496-505,1195): redo it on resume — and
+            # USE the results (best-metric selection + metric writer),
+            # then clear the flag so another crash doesn't repeat it
+            if meta.get("in_evaluation") and self.val_datasets:
                 log.info("checkpoint was saved mid-validation; re-running")
-                self.validate()
+                eff = self.effective_iter
+                results = self.validate()
+                self._update_best(results, eff)
+                self.ckpt.save(self.state,
+                               meta={"effective_iter": eff,
+                                     "in_evaluation": False,
+                                     "loss_ema": self.loss_ema,
+                                     "best_metric": self.best_metric})
+                self._write_val_metrics(int(self.state.step), results)
         return int(self.state.step)
+
+    def _write_val_metrics(self, step: int, results: Dict) -> None:
+        if self.metric_writer:
+            flat = {f"val/{ds}/{t}/{k}": v
+                    for ds, per in results.items()
+                    for t, r in per.items() for k, v in r.items()}
+            self.metric_writer(step, flat)
 
     # -- train -----------------------------------------------------------
 
@@ -170,7 +190,9 @@ class StableMTLTrainer:
                                          "loss_ema": self.loss_ema,
                                          "best_metric": self.best_metric})
                 if eff % cfg.backup_period == 0:
-                    self.ckpt.save_backup(self.state)
+                    # named by EFFECTIVE iter (reference iter_XXXXXX
+                    # contract), not the micro step counter in state.step
+                    self.ckpt.save_backup(self.state, step=eff)
             if (at_effective and cfg.visualization_period > 0
                     and self.vis_datasets and cfg.output_dir
                     and eff % cfg.visualization_period == 0):
@@ -188,12 +210,9 @@ class StableMTLTrainer:
                     self.ckpt.save(self.state,
                                    meta={"effective_iter": eff,
                                          "in_evaluation": False,
+                                         "loss_ema": self.loss_ema,
                                          "best_metric": self.best_metric})
-                if self.metric_writer:
-                    flat = {f"val/{ds}/{t}/{k}": v
-                            for ds, per in results.items()
-                            for t, r in per.items() for k, v in r.items()}
-                    self.metric_writer(step, flat)
+                self._write_val_metrics(step, results)
 
             if (cfg.exit_after_minutes > 0 and
                     (time.monotonic() - t_start) / 60
@@ -202,7 +221,9 @@ class StableMTLTrainer:
                 if self.ckpt is not None:
                     self.ckpt.save(self.state,
                                    meta={"effective_iter": eff,
-                                         "interrupted": True})
+                                         "interrupted": True,
+                                         "loss_ema": self.loss_ema,
+                                         "best_metric": self.best_metric})
                 break
         if pending is not None:
             consume(pending)
