@@ -321,6 +321,14 @@ def accumulation_steps_of(cfg: Config, n_devices: int) -> Tuple[int, int]:
     per_dev = max(1, min(max_bs, eff // n))
     per_step = per_dev * n
     accum = max(1, eff // per_step)
+    if accum * per_step != eff:
+        # the reference ASSERTS divisibility (train_stablemtl.py:167);
+        # here the device count participates too, so adapt — but never
+        # silently change the training recipe's lr/batch ratio
+        log.warning(
+            "effective_batch_size %d is not divisible by per-step batch %d "
+            "(%d devices x %d): training with effective batch %d instead",
+            eff, per_step, n, per_dev, accum * per_step)
     return accum, per_step
 
 
