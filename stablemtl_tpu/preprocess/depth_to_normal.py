@@ -23,8 +23,10 @@ _LAP_ALPHA = np.array([[0, -1, 0], [-1, 4, -1], [0, -1, 0]], np.float64)
 
 
 def _filt(z, k):
-    # cv2.filter2D correlates with reflected border; mirror that here
-    return convolve(z, np.flip(k), mode="reflect")
+    # cv2.filter2D (the reference, myApis.py) correlates with
+    # BORDER_REFLECT_101 — scipy's mode="mirror", NOT mode="reflect"
+    # (verified numerically: "reflect" deviates in a 2-3 px border band)
+    return convolve(z, np.flip(k), mode="mirror")
 
 
 def _soft_min(lap, base, direction):

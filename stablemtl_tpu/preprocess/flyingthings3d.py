@@ -122,6 +122,10 @@ def main(argv=None):
         lines.append(f"{args.split}/flow_2d/{index:07d}.png")
         print(f"processed {args.split}/{index:07d}", flush=True)
     list_path = os.path.join(args.output_dir, f"{args.split}.txt")
+    if args.n_processes > 1:
+        # shards must not overwrite each other's list; concatenate the
+        # parts when all shards are done
+        list_path += f".part{args.process_id:02d}of{args.n_processes:02d}"
     with open(list_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {list_path} ({len(lines)} samples)")

@@ -21,6 +21,17 @@ GAMMA = 1.0 / 2.2
 PERCENTILE = 90
 BRIGHTNESS_DESIRED = 0.8
 
+# known-corrupt frames excluded by the reference
+# (preprocess_hypersim.py:23-28), keyed by rgb relative path
+FILTERED_OUT = frozenset([
+    "ai_004_009/rgb_cam_01_fr0000.png",
+    "ai_008_001/rgb_cam_01_fr0000.png",
+    "ai_008_001/rgb_cam_02_fr0000.png",
+    "ai_011_005/rgb_cam_01_fr0000.png",
+    "ai_016_009/rgb_cam_00_fr0000.png",
+    "ai_052_002/rgb_cam_01_fr0021.png",
+])
+
 
 def brightness_ccir601(rgb: np.ndarray) -> np.ndarray:
     return 0.3 * rgb[..., 0] + 0.59 * rgb[..., 1] + 0.11 * rgb[..., 2]
@@ -112,6 +123,10 @@ def process_frame(h5_scene_dir: str, frame_id: int, cam: str,
     rgb = _read("color").astype(np.float64)
     entity = _read("render_entity_id")
     valid = entity != -1
+    if not valid.any():
+        # reference skips fully-invalid frames entirely
+        # (preprocess_hypersim.py:140-142, :315-317)
+        return None
     scale = tonemap_scale(rgb, valid)
     rgb_tm = np.clip(np.power(np.maximum(scale * rgb, 0), GAMMA), 0.0, 1.0)
     dist = _read("depth_meters")
@@ -123,7 +138,7 @@ def process_frame(h5_scene_dir: str, frame_id: int, cam: str,
     os.makedirs(out_scene, exist_ok=True)
     names = {k: f"{k}_{cam}_fr{frame_id:04d}" for k in
              ("rgb", "depth_plane", "normal_cam", "normal_valid_mask",
-              "albedo", "shading")}
+              "reflectance", "shading")}
 
     def _imwrite(base, arr_u8):
         cv2.imwrite(os.path.join(out_scene, base),
@@ -139,17 +154,28 @@ def process_frame(h5_scene_dir: str, frame_id: int, cam: str,
     _imwrite(names["shading"] + ".png",
              (np.clip(shading_from(rgb, reflectance), 0, 1) * 255)
              .astype(np.uint8))
-    _imwrite(names["albedo"] + ".png",
+    # the datasets derive this path as rgb.replace('rgb','reflectance')
+    # (datasets.py HypersimAlbedo/ShadingDataset) — the raster must be
+    # named reflectance_*, like the reference's deployed trees
+    _imwrite(names["reflectance"] + ".png",
              (np.clip(scale * reflectance, 0, 1) * 255).astype(np.uint8))
 
-    # normals: normalize, orient toward camera, x-flip
-    # (preprocess_hypersim.py:286-355)
-    normal_cam = _normalize_rows(_read("normal_cam").astype(np.float64))
-    normal_world = _normalize_rows(_read("normal_world").astype(np.float64))
+    # normals: sentinel-fill invalid rows BEFORE normalizing (reference
+    # :319-336 sets -987654321 then sklearn-normalizes — NaN/inf source
+    # values at invalid pixels must never reach the saved npy), then
+    # normalize, orient toward camera, x-flip (:286-355)
+    normal_cam = _read("normal_cam").astype(np.float64)
+    normal_world = _read("normal_world").astype(np.float64)
     position = _read("position").astype(np.float64)
     nvalid = valid & np.isfinite(position).all(-1) \
-        & ~np.isclose(normal_cam, 0.0).all(-1) \
-        & ~np.isclose(normal_world, 0.0).all(-1)
+        & np.isfinite(normal_cam).all(-1) \
+        & np.isfinite(normal_world).all(-1) \
+        & ~np.isclose(np.nan_to_num(normal_cam), 0.0).all(-1) \
+        & ~np.isclose(np.nan_to_num(normal_world), 0.0).all(-1)
+    normal_cam[~nvalid] = -987654321.0
+    normal_world[~nvalid] = -987654321.0
+    normal_cam = _normalize_rows(normal_cam)
+    normal_world = _normalize_rows(normal_world)
     with h5py.File(os.path.join(h5_scene_dir, "_detail", cam,
                                 "camera_keyframe_positions.hdf5"), "r") as f:
         cam_pos = np.array(f["dataset"])[frame_id]
@@ -167,8 +193,9 @@ def process_frame(h5_scene_dir: str, frame_id: int, cam: str,
     return {"rgb": join(names["rgb"] + ".png"),
             "depth": join(names["depth_plane"] + ".png"),
             "normal": join(names["normal_cam"] + ".npy"),
+            "normal_png": join(names["normal_cam"] + ".png"),
             "normal_mask": join(names["normal_valid_mask"] + ".npy"),
-            "albedo": join(names["albedo"] + ".png"),
+            "albedo": join(names["reflectance"] + ".png"),
             "shading": join(names["shading"] + ".png")}
 
 
@@ -264,6 +291,8 @@ def main(argv=None):
         import pandas as pd
 
         df = pd.read_csv(args.csv)
+        if "included_in_public_release" in df.columns:
+            df = df[df.included_in_public_release]  # reference :50
         df = df[df.split_partition_name == args.split]
         triples = [(r.scene_name, r.camera_name, int(r.frame_id))
                    for r in df.itertuples()]
@@ -273,14 +302,27 @@ def main(argv=None):
     out_split = os.path.join(args.output_dir, args.split)
     lines = []
     for scene, cam, fid in triples:
+        rgb_rel = f"{scene}/rgb_{cam}_fr{fid:04d}.png"
+        if rgb_rel in FILTERED_OUT:  # reference blacklist (:23-28, :98)
+            print(f"skipping blacklisted {rgb_rel}", flush=True)
+            continue
         rels = process_frame(os.path.join(args.dataset_dir, scene),
                              fid, cam, out_split, scene_name=scene)
+        if rels is None:
+            print(f"skipping {rgb_rel}: no valid pixels", flush=True)
+            continue
+        # reference column order (data_split/hypersim lists):
+        # rgb depth normal_npy normal_png normal_mask; albedo/shading
+        # are derived from the rgb path by the datasets
         lines.append(" ".join([rels["rgb"], rels["depth"], rels["normal"],
-                               rels["normal_mask"], rels["albedo"],
-                               rels["shading"]]))
+                               rels["normal_png"], rels["normal_mask"]]))
         print(f"processed {scene}/{cam}/fr{fid:04d}", flush=True)
     list_path = os.path.join(args.output_dir,
                              f"filename_list_{args.split}.txt")
+    if args.n_processes > 1:
+        # shards must not overwrite each other's list; concatenate the
+        # parts when all shards are done
+        list_path += f".part{args.process_id:02d}of{args.n_processes:02d}"
     with open(list_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {list_path} ({len(lines)} frames)")

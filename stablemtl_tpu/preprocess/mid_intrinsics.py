@@ -16,7 +16,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from .hypersim import GAMMA, tonemap_scale
+from .hypersim import GAMMA, tone_map_hdr, tonemap_scale
 
 
 def read_exr(path: str) -> np.ndarray:
@@ -39,11 +39,9 @@ def read_exr(path: str) -> np.ndarray:
             "imageio EXR plugin") from e
 
 
-def tone_map_mid(rgb_hdr: np.ndarray,
-                 valid_mask: Optional[np.ndarray] = None) -> np.ndarray:
-    """CGIntrinsics-style tone map (same scale rule as Hypersim)."""
-    scale = tonemap_scale(rgb_hdr, valid_mask)
-    return np.clip(np.power(np.maximum(scale * rgb_hdr, 0), GAMMA), 0, 1)
+# CGIntrinsics-style tone map — the exact same scale+gamma rule as
+# Hypersim, so it IS that helper (one implementation to maintain)
+tone_map_mid = tone_map_hdr
 
 
 def shading_from_albedo(rgb: np.ndarray, albedo: np.ndarray,
@@ -52,19 +50,25 @@ def shading_from_albedo(rgb: np.ndarray, albedo: np.ndarray,
 
 
 def process_scene(render_exr: str, albedo_exr: str, out_prefix: str) -> dict:
-    """One render: writes <prefix>.jpg, <prefix>_albedo.jpg,
-    <prefix>_shading.jpg (the layout mid_intrinsic_dataset.py:21-25 reads)."""
+    """One render: writes <prefix>.jpg (gamma tone map),
+    <prefix>_scaled_only.jpg (scale, no gamma), <prefix>_albedo.jpg and
+    <prefix>_shading.jpg (the layout mid_intrinsic_dataset.py:21-25 reads).
+
+    Reference math (preprocess.py:196-233): albedo is saved LINEAR
+    (clipped, no gamma) and shading = (tm_scale * rgb_hdr).clip(0,1) /
+    linear albedo — gamma is applied only to the display rgb jpg."""
     import cv2
 
     rgb = read_exr(render_exr)
-    albedo = read_exr(albedo_exr)
+    albedo = np.clip(read_exr(albedo_exr), 0, 1)       # LINEAR, no gamma
+    scale = tonemap_scale(rgb)
+    rgb_scaled = np.clip(scale * rgb, 0, 1)
     rgb_tm = tone_map_mid(rgb)
-    albedo_tm = np.clip(np.power(np.maximum(albedo, 0), GAMMA), 0, 1)
-    shading = np.clip(shading_from_albedo(rgb_tm, albedo_tm), 0, 1)
+    shading = np.clip(shading_from_albedo(rgb_scaled, albedo), 0, 1)
 
     os.makedirs(os.path.dirname(os.path.abspath(out_prefix)), exist_ok=True)
-    for suffix, img in (("", rgb_tm), ("_albedo", albedo_tm),
-                        ("_shading", shading)):
+    for suffix, img in (("", rgb_tm), ("_scaled_only", rgb_scaled),
+                        ("_albedo", albedo), ("_shading", shading)):
         cv2.imwrite(f"{out_prefix}{suffix}.jpg",
                     cv2.cvtColor((img * 255).astype(np.uint8),
                                  cv2.COLOR_RGB2BGR))
@@ -72,13 +76,22 @@ def process_scene(render_exr: str, albedo_exr: str, out_prefix: str) -> dict:
 
 
 def write_split_files(out_dir: str, names: List[str],
-                      test_frac: float = 0.2, lite_every: int = 10) -> None:
-    """test/lite/vis split lists (preprocess.py:250-283)."""
+                      split: str = "test", n_lite: int = 300,
+                      n_vis: int = 20, seed: int = 0) -> None:
+    """Reference split lists (preprocess.py:250-283): ALL names go to
+    {split}.txt, plus randomly sampled {split}_lite_300.txt and
+    {split}_vis_20.txt subsets (the reference samples with the global
+    `random` module; a seed keeps this reproducible)."""
+    import random
+
     os.makedirs(out_dir, exist_ok=True)
-    n_test = int(len(names) * test_frac)
-    with open(os.path.join(out_dir, "test.txt"), "w") as f:
-        f.write("\n".join(names[:n_test]))
-    with open(os.path.join(out_dir, "val.txt"), "w") as f:
-        f.write("\n".join(names[n_test:]))
-    with open(os.path.join(out_dir, "lite.txt"), "w") as f:
-        f.write("\n".join(names[::lite_every]))
+    with open(os.path.join(out_dir, f"{split}.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    rng = random.Random(seed)
+    lite = rng.sample(names, min(n_lite, len(names)))
+    with open(os.path.join(out_dir, f"{split}_lite_{n_lite}.txt"),
+              "w") as f:
+        f.write("\n".join(lite) + "\n")
+    vis = rng.sample(names, min(n_vis, len(names)))
+    with open(os.path.join(out_dir, f"{split}_vis_{n_vis}.txt"), "w") as f:
+        f.write("\n".join(vis) + "\n")

@@ -188,17 +188,23 @@ def test_mid_tonemap_and_shading_roundtrip():
 
 
 def test_mid_split_files(tmp_path):
+    """Reference semantics (preprocess.py:250-283): the split txt holds
+    ALL names; lite/vis are random subsets of it."""
     from stablemtl_tpu.preprocess.mid_intrinsics import write_split_files
 
     names = [f"scene_{i:03d}" for i in range(20)]
-    write_split_files(str(tmp_path), names, test_frac=0.2, lite_every=5)
+    write_split_files(str(tmp_path), names, split="test", n_lite=5,
+                      n_vis=2, seed=0)
     test = (tmp_path / "test.txt").read_text().splitlines()
-    val = (tmp_path / "val.txt").read_text().splitlines()
-    lite = (tmp_path / "lite.txt").read_text().splitlines()
-    assert test == names[:4]
-    assert val == names[4:]
-    assert lite == names[::5]
-    assert not (set(test) & set(val))
+    lite = (tmp_path / "test_lite_5.txt").read_text().splitlines()
+    vis = (tmp_path / "test_vis_2.txt").read_text().splitlines()
+    assert test == names
+    assert len(lite) == 5 and set(lite) <= set(names)
+    assert len(vis) == 2 and set(vis) <= set(names)
+    # deterministic under the seed
+    write_split_files(str(tmp_path), names, split="test", n_lite=5,
+                      n_vis=2, seed=0)
+    assert (tmp_path / "test_lite_5.txt").read_text().splitlines() == lite
 
 
 def test_mid_process_scene_if_exr_available(tmp_path):
