@@ -69,11 +69,19 @@ def test_hypersim_driver_layout(hypersim_scene, tmp_path):
         assert (scene_out / f"normal_cam_cam_00_fr{fid:04d}.png").exists()
         assert (scene_out
                 / f"normal_valid_mask_cam_00_fr{fid:04d}.npy").exists()
-        assert (scene_out / f"albedo_cam_00_fr{fid:04d}.png").exists()
+        # the datasets derive albedo as rgb.replace('rgb','reflectance')
+        assert (scene_out / f"reflectance_cam_00_fr{fid:04d}.png").exists()
         assert (scene_out / f"shading_cam_00_fr{fid:04d}.png").exists()
     lst = (out / "filename_list_train.txt").read_text().strip().splitlines()
     assert len(lst) == 2
-    assert lst[0].split()[0] == "ai_001_001/rgb_cam_00_fr0000.png"
+    # reference column order (data_split/hypersim lists):
+    # rgb depth normal_npy normal_png normal_mask
+    cols = lst[0].split()
+    assert cols[0] == "ai_001_001/rgb_cam_00_fr0000.png"
+    assert cols[1].endswith("depth_plane_cam_00_fr0000.png")
+    assert cols[2].endswith("normal_cam_cam_00_fr0000.npy")
+    assert cols[3].endswith("normal_cam_cam_00_fr0000.png")
+    assert cols[4].endswith("normal_valid_mask_cam_00_fr0000.npy")
 
     import cv2
 
