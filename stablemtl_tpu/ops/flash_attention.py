@@ -43,24 +43,29 @@ def _pick_block(s: int, max_block: int = MAX_BLOCK) -> int:
 
 def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
                scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale          # [Bq, D]
+    # Matmuls run in the INPUT dtype with f32 accumulation: the MXU's
+    # bf16xbf16->f32 path is ~4x the f32 matmul throughput on v5e, and
+    # softmax statistics / the accumulator stay f32 regardless. The scale
+    # is applied to the f32 scores (not pre-multiplied into a bf16 q,
+    # which would round it away).
+    q = q_ref[0]                                      # [Bq, D]
     bq, d = q.shape
     s_len = k_ref.shape[1]
     nk = s_len // block_k
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [Bq, Bk]
+            preferred_element_type=jnp.float32) * scale  # [Bq, Bk] f32
         m_cur = jnp.maximum(m_prev, s.max(axis=-1))
         alpha = jnp.exp(m_prev - m_cur)
         p = jnp.exp(s - m_cur[:, None])
         l_cur = l_prev * alpha + p.sum(axis=-1)
         acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return m_cur, l_cur, acc
 
@@ -82,24 +87,26 @@ def _fa_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     dS = P o (dP - delta) with dP = dO V^T, delta = rowsum(dO o O);
     dQ = dS K * scale (flash attention 2 backward, q-parallel part).
     """
-    q = q_ref[0].astype(jnp.float32)                  # [Bq, D]
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]                                      # [Bq, D] input dtype
+    do = do_ref[0]
     lse = lse_ref[0, :, 0]                            # [Bq] (lane 0)
     delta = delta_ref[0, :, 0]
     bq, d = q.shape
     nk = k_ref.shape[1] // block_k
 
     def body(i, dq):
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        # dots in the input dtype (bf16 MXU path), f32 accumulation; the
+        # probability/score intermediates stay f32
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(s - lse[:, None])                 # [Bq, Bk]
+        p = jnp.exp(s - lse[:, None])                 # [Bq, Bk] f32
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta[:, None])
         return dq + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     dq = jax.lax.fori_loop(0, nk, body, jnp.zeros((bq, d), jnp.float32))
@@ -109,27 +116,31 @@ def _fa_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 def _fa_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                    dk_ref, dv_ref, *, block_q: int, scale: float):
     """dK, dV for one (batch*head, k-block), looping over q blocks."""
-    k = k_ref[0].astype(jnp.float32)                  # [Bk, D]
-    v = v_ref[0].astype(jnp.float32)
+    # dots in the input dtype (bf16 MXU path), f32 accumulation; the
+    # probability/score intermediates stay f32
+    k = k_ref[0]                                      # [Bk, D] input dtype
+    v = v_ref[0]
     bk, d = k.shape
     nq = q_ref.shape[1] // block_q
 
     def body(i, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(i * block_q, block_q), 0]
         delta = delta_ref[0, pl.ds(i * block_q, block_q), 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(s - lse[:, None])                 # [Bq, Bk]
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+        p = jnp.exp(s - lse[:, None])                 # [Bq, Bk] f32
+        dv = dv + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None])                # [Bq, Bk]
-        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])                # [Bq, Bk] f32
+        dk = dk + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return dk, dv
 
     dk0 = jnp.zeros((bk, d), jnp.float32)
@@ -288,11 +299,13 @@ def _fa_stream_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * scale          # [Bq, D]
-    k = k_ref[0].astype(jnp.float32)                  # [Bk, D]
-    v = v_ref[0].astype(jnp.float32)
+    # dots in the input dtype (bf16 MXU path), f32 accumulation; scale is
+    # applied to the f32 scores rather than pre-multiplied into a bf16 q
+    q = q_ref[0]                                      # [Bq, D]
+    k = k_ref[0]                                      # [Bk, D]
+    v = v_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [Bq, Bk]
+                            preferred_element_type=jnp.float32) * scale
     m_prev = m_scr[:, 0]
     l_prev = l_scr[:, 0]
     m_cur = jnp.maximum(m_prev, s.max(axis=-1))
@@ -300,7 +313,7 @@ def _fa_stream_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
     p = jnp.exp(s - m_cur[:, None])
     l_cur = l_prev * alpha + p.sum(axis=-1)
     acc_scr[...] = acc_scr[...] * alpha[:, None] + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     m_scr[...] = jnp.broadcast_to(m_cur[:, None], m_scr.shape)
     l_scr[...] = jnp.broadcast_to(l_cur[:, None], l_scr.shape)

@@ -55,6 +55,40 @@ def test_flash_gradients_match_xla():
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_flash_bf16_matches_f32_reference():
+    """bf16 inputs take the MXU input-dtype dot path (dots in bf16, f32
+    accumulation/statistics); forward and backward must stay within bf16
+    rounding of the f32 XLA reference."""
+    rng = np.random.RandomState(11)
+    B, S, H, D = 1, 256, 2, 64
+    qf = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    kf = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    vf = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    cot = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    q, k, v = (x.astype(jnp.bfloat16) for x in (qf, kf, vf))
+
+    ref = _xla_attention(qf, kf, vf)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v).astype(jnp.float32) * cot).sum()
+
+    def loss_ref(q, k, v):
+        return (_xla_attention(q, k, v) * cot).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(qf, kf, vf)
+    for a, b in zip(g1, g2):
+        assert a.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b), atol=0.15, rtol=0.1)
+
+
 def test_bias_falls_back():
     rng = np.random.RandomState(2)
     B, S, H, D = 1, 64, 2, 16
