@@ -30,6 +30,12 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_BLOCK = 512
 NEG_INF = -1e30
 LANE = 8  # lane width for saved per-row vectors (lse/delta)
+LOG2E = 1.4426950408889634  # softmax runs in base 2: exp2 is ~1.6x exp on
+# the VPU (measured, BENCH_NOTES.md) and the log2(e) factor folds into the
+# existing score scale for free. All statistics (m, l, lse) live in the
+# base-2 domain; probabilities exp2(s2 - m2) == exp(s - m) are identical,
+# and the gradient formulas are unchanged (d/dq exp2(q.k*scale*LOG2E) =
+# p * k * scale, the LOG2E*ln2 factors cancel).
 
 
 def _pick_block(s: int, max_block: int = MAX_BLOCK) -> int:
@@ -53,16 +59,18 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
     s_len = k_ref.shape[1]
     nk = s_len // block_k
 
+    scale2 = scale * LOG2E
+
     def body(i, carry):
         m_prev, l_prev, acc = carry
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [Bq, Bk] f32
+            preferred_element_type=jnp.float32) * scale2  # [Bq, Bk] f32
         m_cur = jnp.maximum(m_prev, s.max(axis=-1))
-        alpha = jnp.exp(m_prev - m_cur)
-        p = jnp.exp(s - m_cur[:, None])
+        alpha = jnp.exp2(m_prev - m_cur)
+        p = jnp.exp2(s - m_cur[:, None])
         l_cur = l_prev * alpha + p.sum(axis=-1)
         acc = acc * alpha[:, None] + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -74,9 +82,9 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
     acc0 = jnp.zeros((bq, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
     o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
-    # logsumexp per query row (softmax denominators for the backward);
-    # stored lane-replicated [Bq, LANE] to satisfy TPU block tiling
-    lse = m + jnp.log(l)
+    # base-2 logsumexp per query row (softmax denominators for the
+    # backward); stored lane-replicated [Bq, LANE] for TPU block tiling
+    lse = m + jnp.log2(l)
     lse_ref[0] = jnp.broadcast_to(lse[:, None], (bq, LANE))
 
 
@@ -94,14 +102,16 @@ def _fa_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     bq, d = q.shape
     nk = k_ref.shape[1] // block_k
 
+    scale2 = scale * LOG2E
+
     def body(i, dq):
         # dots in the input dtype (bf16 MXU path), f32 accumulation; the
         # probability/score intermediates stay f32
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(s - lse[:, None])                 # [Bq, Bk] f32
+                                preferred_element_type=jnp.float32) * scale2
+        p = jnp.exp2(s - lse[:, None])                # [Bq, Bk] f32
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta[:, None])
@@ -122,6 +132,7 @@ def _fa_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     v = v_ref[0]
     bk, d = k.shape
     nq = q_ref.shape[1] // block_q
+    scale2 = scale * LOG2E
 
     def body(i, carry):
         dk, dv = carry
@@ -130,8 +141,8 @@ def _fa_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         lse = lse_ref[0, pl.ds(i * block_q, block_q), 0]
         delta = delta_ref[0, pl.ds(i * block_q, block_q), 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(s - lse[:, None])                 # [Bq, Bk] f32
+                                preferred_element_type=jnp.float32) * scale2
+        p = jnp.exp2(s - lse[:, None])                # [Bq, Bk] f32
         dv = dv + jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -305,12 +316,13 @@ def _fa_stream_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
     k = k_ref[0]                                      # [Bk, D]
     v = v_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32) * (
+                                scale * LOG2E)
     m_prev = m_scr[:, 0]
     l_prev = l_scr[:, 0]
     m_cur = jnp.maximum(m_prev, s.max(axis=-1))
-    alpha = jnp.exp(m_prev - m_cur)
-    p = jnp.exp(s - m_cur[:, None])
+    alpha = jnp.exp2(m_prev - m_cur)
+    p = jnp.exp2(s - m_cur[:, None])
     l_cur = l_prev * alpha + p.sum(axis=-1)
     acc_scr[...] = acc_scr[...] * alpha[:, None] + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -321,7 +333,7 @@ def _fa_stream_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
     @pl.when(j == nk - 1)
     def _flush():
         o_ref[0] = (acc_scr[...] / l_scr[:, 0][:, None]).astype(o_ref.dtype)
-        lse = m_scr[:, 0] + jnp.log(l_scr[:, 0])
+        lse = m_scr[:, 0] + jnp.log2(l_scr[:, 0])     # base-2 domain
         lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
 
 
