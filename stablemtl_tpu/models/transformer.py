@@ -344,15 +344,29 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context, task_feats=None, main_idx=None,
                  aux_idx=None, tap: Optional[str] = None, train: bool = False,
-                 task_kv=None, task_key_bias=None):
+                 task_kv=None, task_key_bias=None,
+                 front_only: bool = False, front_state=None):
+        """front_only/front_state split the block at the end of self-attn:
+        everything before (norm1 + attn1) is independent of the text/task
+        conditioning, so the fused multi-task pipeline computes it ONCE
+        per distinct input and resumes the per-task remainder from the
+        saved `attn1` output (see UNet2DConditionModel prefix sharing).
+        front_only=True returns just that attn1 output; front_state is
+        that output (batched to this call's batch) and skips norm1/attn1.
+        """
         tap_feat = None
         ndt = self.dtype if self.fast_math else jnp.float32
         if tap == "beforeSelfAttn":
             tap_feat = x
 
-        h = nn.LayerNorm(dtype=ndt, name="norm1")(x).astype(self.dtype)
-        attn_out = Attention(self.heads, self.dim_head, self.dim,
-                             dtype=self.dtype, name="attn1")(h)
+        if front_state is None:
+            h = nn.LayerNorm(dtype=ndt, name="norm1")(x).astype(self.dtype)
+            attn_out = Attention(self.heads, self.dim_head, self.dim,
+                                 dtype=self.dtype, name="attn1")(h)
+            if front_only:
+                return attn_out
+        else:
+            attn_out = front_state
         if self.use_task_attention and (task_feats is not None
                                         or task_kv is not None):
             attn_out = attn_out + TaskAttentionBank(
@@ -410,23 +424,38 @@ class Transformer2D(nn.Module):
     @nn.compact
     def __call__(self, x, context, task_feats=None, main_idx=None,
                  aux_idx=None, tap: Optional[str] = None, train: bool = False,
-                 task_kv=None, task_key_bias=None):
+                 task_kv=None, task_key_bias=None,
+                 front_only: bool = False, front_state=None):
+        """front_only: run GroupNorm + proj_in + the block's norm1/attn1
+        (everything before any conditioning) and return (h_proj, attn1) —
+        the state the fused pipeline shares across task streams.
+        front_state: that pair, batched to x's batch; x must still be the
+        layer input (it is the residual and the block's residual stream).
+        """
         B, H, W, C = x.shape
         inner = self.heads * self.dim_head
         residual = x
         ndt = self.dtype if self.fast_math else jnp.float32
-        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=ndt,
-                         name="norm")(x)
-        h = h.reshape(B, H * W, C).astype(self.dtype)
-        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
-        h, tap_feat = BasicTransformerBlock(
+        block = BasicTransformerBlock(
             dim=inner, heads=self.heads, dim_head=self.dim_head,
             n_tasks=self.n_tasks, use_task_attention=self.use_task_attention,
             n_attns=self.n_attns, attn_mask_ratio=self.attn_mask_ratio,
             attn_mask_type=self.attn_mask_type, dtype=self.dtype,
             fast_math=self.fast_math,
             name="transformer_blocks_0",
-        )(h, context, task_feats, main_idx, aux_idx, tap=tap, train=train,
-          task_kv=task_kv, task_key_bias=task_key_bias)
+        )
+        if front_state is None:
+            h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=ndt,
+                             name="norm")(x)
+            h = h.reshape(B, H * W, C).astype(self.dtype)
+            h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+            if front_only:
+                return h, block(h, context, front_only=True)
+            attn1 = None
+        else:
+            h, attn1 = front_state
+        h, tap_feat = block(
+            h, context, task_feats, main_idx, aux_idx, tap=tap, train=train,
+            task_kv=task_kv, task_key_bias=task_key_bias, front_state=attn1)
         h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
         return h.reshape(B, H, W, C) + residual, tap_feat

@@ -117,7 +117,8 @@ class UNet2DConditionModel(nn.Module):
                  task_feats: Optional[Sequence] = None,
                  main_idx=None, aux_idx=None,
                  tap: Optional[str] = None, train: bool = False,
-                 task_kv: Optional[Sequence] = None, task_key_bias=None):
+                 task_kv: Optional[Sequence] = None, task_key_bias=None,
+                 prefix_only: bool = False, prefix_state=None):
         """
         sample: [B, H, W, C_in]; timesteps: [B] (or scalar); context [B, L, D].
         task_feats: list of 16 arrays [T_aux, B, N_l, C_l] from the child UNet.
@@ -126,6 +127,15 @@ class UNet2DConditionModel(nn.Module):
             main stream (fused inference fast path); task_key_bias
             ([n_tasks], -inf on excluded tasks) masks the key set per
             stream instead of gathering it.
+        prefix_only: run only the conditioning-independent prefix —
+            conv_in, down_blocks_0_resnets_0, and the first transformer
+            layer up to its self-attn output (the text/task conditioning
+            first enters at that layer's cross/task attention) — and
+            return a state dict. The fused multi-task pipeline computes
+            this once per DISTINCT input instead of once per task stream.
+        prefix_state: that dict, with leaves tiled to the full stream
+            batch; `sample` may be None (only conv_in consumes it) and the
+            forward resumes after the first self-attn.
         Returns (out [B, H, W, C_out], taps: list of 16 arrays or Nones).
         """
         cfg = self.config
@@ -134,19 +144,26 @@ class UNet2DConditionModel(nn.Module):
         n_blocks = len(ch)
         head_dim = [ch[i] // cfg.attention_heads[i] for i in range(n_blocks)]
 
+        if (prefix_only or prefix_state is not None) and n_blocks < 2:
+            raise ValueError(
+                "prefix sharing needs an attention layer in down block 0 "
+                "(n_blocks >= 2); this config's block 0 is attention-free")
+        batch = (sample.shape[0] if prefix_state is None
+                 else prefix_state["res"].shape[0])
         timesteps = jnp.atleast_1d(jnp.asarray(timesteps))
-        timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+        timesteps = jnp.broadcast_to(timesteps, (batch,))
         t_emb = timestep_embedding(timesteps, ch[0])
         temb = TimestepEmbedding(ch[0] * 4, dtype=dtype,
                                  name="time_embedding")(t_emb)
 
-        sample = sample.astype(dtype)
+        if prefix_state is None:
+            sample = sample.astype(dtype)
         encoder_hidden_states = encoder_hidden_states.astype(dtype)
 
         taps = []
         attn_layer = 0
 
-        def run_transformer(h, name, heads, dhead):
+        def run_transformer(h, name, heads, dhead, front_state=None):
             nonlocal attn_layer
             tf = self._transformer(attn_layer, heads, dhead, name)
             feats = kv = None
@@ -158,7 +175,8 @@ class UNet2DConditionModel(nn.Module):
                     kv = task_kv[attn_layer]
             h, tap_feat = tf(h, encoder_hidden_states, feats, main_idx,
                              aux_idx, tap=tap, train=train, task_kv=kv,
-                             task_key_bias=task_key_bias)
+                             task_key_bias=task_key_bias,
+                             front_state=front_state)
             taps.append(tap_feat)
             attn_layer += 1
             return h
@@ -171,8 +189,11 @@ class UNet2DConditionModel(nn.Module):
                                eps=cfg.norm_eps, dtype=dtype, norm_dtype=ndt)
 
         # ---- in ------------------------------------------------------------
-        h = nn.Conv(ch[0], (3, 3), padding=((1, 1), (1, 1)), dtype=dtype,
-                    name="conv_in")(sample)
+        if prefix_state is None:
+            h = nn.Conv(ch[0], (3, 3), padding=((1, 1), (1, 1)), dtype=dtype,
+                        name="conv_in")(sample)
+        else:
+            h = prefix_state["conv"]
 
         # ---- down ----------------------------------------------------------
         res_samples = [h]
@@ -180,8 +201,25 @@ class UNet2DConditionModel(nn.Module):
             is_final = i == n_blocks - 1
             has_attn = not is_final  # last block is attention-free (DownBlock)
             for j in range(cfg.layers_per_block):
+                first = i == 0 and j == 0
+                if first and prefix_state is not None:
+                    # resume after the shared prefix: the first resnet and
+                    # the first layer's norm1/attn1 were computed once by a
+                    # prefix_only call and tiled by the caller
+                    h = run_transformer(
+                        prefix_state["res"], "down_blocks_0_attentions_0",
+                        cfg.attention_heads[0], head_dim[0],
+                        front_state=prefix_state["front"])
+                    res_samples.append(h)
+                    continue
                 h = resblock(out_channels=ch[i],
                              name=f"down_blocks_{i}_resnets_{j}")(h, temb)
+                if first and prefix_only:
+                    tf = self._transformer(0, cfg.attention_heads[0],
+                                           head_dim[0],
+                                           "down_blocks_0_attentions_0")
+                    front = tf(h, encoder_hidden_states, front_only=True)
+                    return {"conv": res_samples[0], "res": h, "front": front}
                 if has_attn:
                     h = run_transformer(
                         h, f"down_blocks_{i}_attentions_{j}",

@@ -27,6 +27,7 @@ Packing/decoding parity:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional, Sequence
 
 import jax
@@ -46,6 +47,12 @@ TWO_FRAME_TABLE = np.array([t in TWO_FRAME_TASKS for t in TASKS], dtype=bool)
 # Text prompt for each task: the task name with '_' -> ' '
 # (reference pipeline:465-467).
 TASK_PROMPTS = tuple(t.replace("_", " ") for t in TASKS)
+
+# Representatives of the two UNet-input groups: every task's input latent
+# equals one of these two (second frame = configured single-frame mode vs
+# the real next frame) — the basis of the shared-prefix fast path.
+_SINGLE_FRAME_IDX = int(np.argmin(TWO_FRAME_TABLE))
+_TWO_FRAME_IDX = int(np.argmax(TWO_FRAME_TABLE))
 
 
 def task_index(name_or_idx) -> int:
@@ -249,6 +256,67 @@ class StableMTLPipeline:
         order = jnp.argsort(jnp.where(idx == main_idx, N_TASKS, idx))
         return order[: N_TASKS - 1]
 
+    # ---- shared UNet prefix (fused multi-task fast path) ----------------
+
+    def _prefix_share_ok(self) -> bool:
+        """Whether the conv_in -> first-self-attn UNet prefix can be
+        computed once and shared across task streams: it is
+        task-independent only when the noise group is too (deterministic
+        zeros; 'random' draws fresh noise per stream). Env kill switch
+        STABLEMTL_DISABLE_PREFIX_SHARE for A/B benchmarking."""
+        if self.input_noise != "deterministic":
+            return False
+        disable = os.environ.get("STABLEMTL_DISABLE_PREFIX_SHARE", "")
+        return disable.strip().lower() not in ("1", "true", "yes", "on")
+
+    def _prefix_variants(self, unet, params, lat, lat_next):
+        """The <=2 distinct prefix states for a given UNet: one for
+        single-frame tasks (second latent = configured mode) and one for
+        two-frame tasks (second latent = real next frame). Returns
+        (state_single, state_two) pytrees with [B, ...] leaves; the same
+        object twice when the variants collapse (single-frame input in
+        'duplicate' mode)."""
+        B = lat.shape[0]
+        t = jnp.full((B,), FIXED_TIMESTEP, jnp.int32)
+        # the prefix never reads the text conditioning; any [B,L,D] works
+        text0 = jnp.zeros((B,) + self.text_embed_table.shape[1:],
+                          self.text_embed_table.dtype)
+
+        def state_for(task_idx: int):
+            rgb_lat = self.rgb_latent_for_task(lat, lat_next,
+                                               jnp.asarray(task_idx))
+            x = jnp.concatenate(
+                [rgb_lat, jnp.zeros_like(rgb_lat[..., :4])], axis=-1)
+            return unet.apply(params, x, t, text0, prefix_only=True)
+
+        single = state_for(_SINGLE_FRAME_IDX)
+        if lat_next is lat and self.encode_rgb_mode == "duplicate":
+            return single, single
+        return single, state_for(_TWO_FRAME_IDX)
+
+    @staticmethod
+    def _prefix_select(state_single, state_two, two_frame):
+        """Per-stream prefix for a traced scalar two_frame flag."""
+        if state_single is state_two:
+            return state_single
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(two_frame, b, a), state_single, state_two)
+
+    @staticmethod
+    def _prefix_stack(state_single, state_two, flags):
+        """[K*B, ...] prefix state for a task axis folded into batch.
+
+        flags: per-slot two-frame indicator — python bools (static task
+        set) or a traced [K] vector (traced aux subset)."""
+        if isinstance(flags, (list, tuple)):
+            parts = [state_two if bool(f) else state_single for f in flags]
+        else:
+            parts = [StableMTLPipeline._prefix_select(
+                state_single, state_two, flags[i])
+                for i in range(flags.shape[0])]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+
     def create_task_feats(self, lat, lat_next, main_idx, rng=None):
         """Frozen-child features for every auxiliary task, in ONE forward.
 
@@ -268,19 +336,29 @@ class StableMTLPipeline:
         aux_idx = self.aux_task_indices(main_idx)
         T = aux_idx.shape[0]
 
-        rgb_lat = self.rgb_latent_for_task(lat, lat_next, aux_idx)  # [T,B,h,w,8]
-        noise = self.noise_latent(rgb_lat[..., :4], rng)
-        x = jnp.concatenate([rgb_lat, noise], axis=-1)  # [T,B,h,w,12]
-        x = x.reshape((T * B,) + x.shape[2:])
-
         text = jnp.take(self.text_embed_table, aux_idx, axis=0)  # [T,L,D]
         text = jnp.broadcast_to(text[:, None], (T, B) + text.shape[1:])
         text = text.reshape((T * B,) + text.shape[2:])
+        t_vec = jnp.full((T * B,), FIXED_TIMESTEP, jnp.int32)
+        cparams = jax.lax.stop_gradient(self.unet_child_params)
 
-        _, taps = self.unet_child.apply(
-            jax.lax.stop_gradient(self.unet_child_params),
-            x, jnp.full((T * B,), FIXED_TIMESTEP, jnp.int32), text,
-            tap=self.child_tap, train=False)
+        if self._prefix_share_ok():
+            # shared prefix; the aux subset is traced, so variants are
+            # selected per slot (jnp.where) before the batch fold
+            s1, s2 = self._prefix_variants(self.unet_child, cparams,
+                                           lat, lat_next)
+            flags = jnp.asarray(TWO_FRAME_TABLE)[aux_idx]
+            state = self._prefix_stack(s1, s2, flags)
+            _, taps = self.unet_child.apply(
+                cparams, None, t_vec, text,
+                tap=self.child_tap, train=False, prefix_state=state)
+        else:
+            rgb_lat = self.rgb_latent_for_task(lat, lat_next, aux_idx)
+            noise = self.noise_latent(rgb_lat[..., :4], rng)
+            x = jnp.concatenate([rgb_lat, noise], axis=-1)  # [T,B,h,w,12]
+            x = x.reshape((T * B,) + x.shape[2:])
+            _, taps = self.unet_child.apply(
+                cparams, x, t_vec, text, tap=self.child_tap, train=False)
         feats = [t.reshape((T, B) + t.shape[1:]) for t in taps]
         return aux_idx, feats
 
@@ -295,18 +373,29 @@ class StableMTLPipeline:
         if not self.is_multi_stream:
             return None
         B = lat.shape[0]
-        all_idx = jnp.arange(N_TASKS)
-        rgb_lat = self.rgb_latent_for_task(lat, lat_next, all_idx)
-        noise = self.noise_latent(rgb_lat[..., :4], rng)
-        x = jnp.concatenate([rgb_lat, noise], axis=-1)
-        x = x.reshape((N_TASKS * B,) + x.shape[2:])
         text = jnp.broadcast_to(self.text_embed_table[:, None],
                                 (N_TASKS, B) + self.text_embed_table.shape[1:])
         text = text.reshape((N_TASKS * B,) + text.shape[2:])
-        _, taps = self.unet_child.apply(
-            jax.lax.stop_gradient(self.unet_child_params),
-            x, jnp.full((N_TASKS * B,), FIXED_TIMESTEP, jnp.int32), text,
-            tap=self.child_tap, train=False)
+        t_vec = jnp.full((N_TASKS * B,), FIXED_TIMESTEP, jnp.int32)
+        cparams = jax.lax.stop_gradient(self.unet_child_params)
+        if self._prefix_share_ok():
+            # the task-independent prefix (conv_in -> first self-attn) is
+            # computed once per distinct input (<=2) instead of once per
+            # task fold; static task set -> static variant stacking
+            s1, s2 = self._prefix_variants(self.unet_child, cparams,
+                                           lat, lat_next)
+            state = self._prefix_stack(s1, s2, list(TWO_FRAME_TABLE))
+            _, taps = self.unet_child.apply(
+                cparams, None, t_vec, text,
+                tap=self.child_tap, train=False, prefix_state=state)
+        else:
+            all_idx = jnp.arange(N_TASKS)
+            rgb_lat = self.rgb_latent_for_task(lat, lat_next, all_idx)
+            noise = self.noise_latent(rgb_lat[..., :4], rng)
+            x = jnp.concatenate([rgb_lat, noise], axis=-1)
+            x = x.reshape((N_TASKS * B,) + x.shape[2:])
+            _, taps = self.unet_child.apply(
+                cparams, x, t_vec, text, tap=self.child_tap, train=False)
         return [t.reshape((N_TASKS, B) + t.shape[1:]) for t in taps]
 
     # ---- inference ----------------------------------------------------
@@ -367,24 +456,40 @@ class StableMTLPipeline:
             from .models.unet import task_kv_tables
             kv_tables = task_kv_tables(self.unet.config, uparams, taps_all)
 
+        share = self._prefix_share_ok()
+        if share:
+            # conv_in -> first-self-attn computed once per distinct input
+            # (outside the vmap), selected per stream by its task's
+            # two-frame flag
+            s1, s2 = self._prefix_variants(self.unet, uparams, lat, lat_next)
+
         def one_task(main_idx):
-            rgb_lat = self.rgb_latent_for_task(lat, lat_next, main_idx)
-            # per-stream independent draws under input_noise='random'
-            # (one shared key would give every task stream byte-identical
-            # noise; the reference draws fresh randn per forward)
-            r = None if rng is None else jax.random.fold_in(rng, main_idx)
-            noise = self.noise_latent(rgb_lat[..., :4], r)
-            x = jnp.concatenate([rgb_lat, noise], axis=-1)
             text = self.text_embed(main_idx, B)
+            if share:
+                two = jnp.asarray(TWO_FRAME_TABLE)[main_idx]
+                extra = dict(prefix_state=self._prefix_select(s1, s2, two))
+                x = None
+            else:
+                rgb_lat = self.rgb_latent_for_task(lat, lat_next, main_idx)
+                # per-stream independent draws under input_noise='random'
+                # (one shared key would give every task stream
+                # byte-identical noise; the reference draws fresh randn
+                # per forward)
+                r = None if rng is None else jax.random.fold_in(rng, main_idx)
+                noise = self.noise_latent(rgb_lat[..., :4], r)
+                x = jnp.concatenate([rgb_lat, noise], axis=-1)
+                extra = {}
             if self.is_multi_stream and with_task_attention:
                 key_bias = jnp.where(
                     (jnp.arange(N_TASKS) == main_idx) & self.exclude_main_task,
                     -1e9, 0.0).astype(jnp.float32)
                 pred, _ = self.unet.apply(
                     uparams, x, t, text, task_kv=kv_tables,
-                    main_idx=main_idx, task_key_bias=key_bias, train=False)
+                    main_idx=main_idx, task_key_bias=key_bias, train=False,
+                    **extra)
             else:
-                pred, _ = self.unet.apply(uparams, x, t, text, train=False)
+                pred, _ = self.unet.apply(uparams, x, t, text, train=False,
+                                          **extra)
             return pred
 
         return jax.vmap(one_task)(task_indices)

@@ -217,3 +217,38 @@ def test_factory_plumbs_decode_chunk():
                             "pretrained_path": "scratch"},
                   "pipeline": {"decode_chunk": 3}})
     assert build_pipeline(cfg).decode_chunk == 3
+
+
+def test_shared_prefix_path_equivalent(monkeypatch):
+    """The shared conv_in->first-self-attn prefix (computed once per
+    distinct input and tiled across task streams) must be bit-equal to
+    the plain per-stream forward — paired and single-frame inputs, fused
+    inference AND the traced-aux child path (create_task_feats)."""
+    pipe = _tiny_pipeline(multi_stream=True)
+    key = jax.random.PRNGKey(3)
+    rgb = jax.random.uniform(key, (1, 16, 16, 3), jnp.float32, -1, 1)
+    rgb_next = jax.random.uniform(jax.random.fold_in(key, 1),
+                                  (1, 16, 16, 3), jnp.float32, -1, 1)
+
+    for nxt in (rgb_next, None):
+        monkeypatch.setenv("STABLEMTL_DISABLE_PREFIX_SHARE", "1")
+        base = np.asarray(pipe.infer_all_tasks(rgb, nxt))
+        lat, lat_next = pipe.encode_rgb_pair(rgb, nxt)
+        _, feats_base = pipe.create_task_feats(lat, lat_next, jnp.asarray(2))
+        monkeypatch.setenv("STABLEMTL_DISABLE_PREFIX_SHARE", "0")
+        shared = np.asarray(pipe.infer_all_tasks(rgb, nxt))
+        _, feats_shared = pipe.create_task_feats(lat, lat_next,
+                                                 jnp.asarray(2))
+        np.testing.assert_allclose(shared, base, atol=1e-6)
+        for a, b in zip(feats_shared, feats_base):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+
+def test_shared_prefix_disabled_for_random_noise():
+    """input_noise='random' draws per-stream noise, so the prefix is NOT
+    task-independent; sharing must switch itself off."""
+    import dataclasses
+    pipe = dataclasses.replace(_tiny_pipeline(multi_stream=True),
+                               input_noise="random")
+    assert not pipe._prefix_share_ok()
