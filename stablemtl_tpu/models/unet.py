@@ -144,10 +144,13 @@ class UNet2DConditionModel(nn.Module):
         n_blocks = len(ch)
         head_dim = [ch[i] // cfg.attention_heads[i] for i in range(n_blocks)]
 
-        if (prefix_only or prefix_state is not None) and n_blocks < 2:
+        if (prefix_only or prefix_state is not None) and (
+                n_blocks < 2 or cfg.layers_per_block < 1):
+            # backstop: pipeline._prefix_share_ok checks the same topology
+            # and falls back to the plain path instead of reaching here
             raise ValueError(
                 "prefix sharing needs an attention layer in down block 0 "
-                "(n_blocks >= 2); this config's block 0 is attention-free")
+                "(n_blocks >= 2 and layers_per_block >= 1)")
         batch = (sample.shape[0] if prefix_state is None
                  else prefix_state["res"].shape[0])
         timesteps = jnp.atleast_1d(jnp.asarray(timesteps))

@@ -44,16 +44,13 @@ def dot_product_attention(q, k, v, bias=None, use_flash: bool | None = None):
     """
     seq_q = q.shape[1]
     if use_flash is None:
-        import os
+        from ..utils.env import env_flag
 
-        # parse, don't truth-test: "0"/"false" must mean NOT disabled
-        disable = os.environ.get("STABLEMTL_DISABLE_FLASH", "")
-        disable = disable.strip().lower() in ("1", "true", "yes", "on")
         use_flash = (
             seq_q >= FLASH_MIN_SEQ
             and q.shape[1] == k.shape[1]
             and jax.default_backend() == "tpu"
-            and not disable
+            and not env_flag("STABLEMTL_DISABLE_FLASH")
         )
     if use_flash:
         from .flash_attention import flash_attention

@@ -27,7 +27,6 @@ Packing/decoding parity:
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Any, Optional, Sequence
 
 import jax
@@ -262,12 +261,20 @@ class StableMTLPipeline:
         """Whether the conv_in -> first-self-attn UNet prefix can be
         computed once and shared across task streams: it is
         task-independent only when the noise group is too (deterministic
-        zeros; 'random' draws fresh noise per stream). Env kill switch
-        STABLEMTL_DISABLE_PREFIX_SHARE for A/B benchmarking."""
+        zeros; 'random' draws fresh noise per stream), and the UNet
+        topology must have an attention layer in down block 0. Env kill
+        switch STABLEMTL_DISABLE_PREFIX_SHARE for A/B benchmarking —
+        read at TRACE time (set before jitting; flipping it under a
+        cached jit wrapper has no effect)."""
         if self.input_noise != "deterministic":
             return False
-        disable = os.environ.get("STABLEMTL_DISABLE_PREFIX_SHARE", "")
-        return disable.strip().lower() not in ("1", "true", "yes", "on")
+        for m in (self.unet, self.unet_child):
+            if m is not None and (len(m.config.block_out_channels) < 2
+                                  or m.config.layers_per_block < 1):
+                return False
+        from .utils.env import env_flag
+
+        return not env_flag("STABLEMTL_DISABLE_PREFIX_SHARE")
 
     def _prefix_variants(self, unet, params, lat, lat_next):
         """The <=2 distinct prefix states for a given UNet: one for
@@ -290,7 +297,10 @@ class StableMTLPipeline:
             return unet.apply(params, x, t, text0, prefix_only=True)
 
         single = state_for(_SINGLE_FRAME_IDX)
-        if lat_next is lat and self.encode_rgb_mode == "duplicate":
+        # variant collapse on single-frame inputs: 'duplicate' second
+        # latent == lat trivially; 'avg' gives (lat+lat)/2 == lat exactly
+        # in floating point
+        if lat_next is lat and self.encode_rgb_mode in ("duplicate", "avg"):
             return single, single
         return single, state_for(_TWO_FRAME_IDX)
 

@@ -252,3 +252,15 @@ def test_shared_prefix_disabled_for_random_noise():
     pipe = dataclasses.replace(_tiny_pipeline(multi_stream=True),
                                input_noise="random")
     assert not pipe._prefix_share_ok()
+
+
+def test_shared_prefix_disabled_for_thin_topology():
+    """A UNet without an attention layer in down block 0 can't split at
+    the first self-attn; sharing must fall back, not crash."""
+    import dataclasses as _dc
+    pipe = _tiny_pipeline(multi_stream=True)
+    thin_cfg = _dc.replace(pipe.unet.config, block_out_channels=(32,),
+                           attention_heads=(2,))
+    thin = UNet2DConditionModel(thin_cfg)
+    assert not _dc.replace(pipe, unet=thin)._prefix_share_ok()
+    assert pipe._prefix_share_ok()  # the real topology still shares
