@@ -38,6 +38,15 @@ LOG2E = 1.4426950408889634  # softmax runs in base 2: exp2 is ~1.6x exp on
 # p * k * scale, the LOG2E*ln2 factors cancel).
 
 
+def _fast_softmax() -> bool:
+    """Trace-time kill switch: STABLEMTL_FLASH_FAST_SOFTMAX=1 drops the
+    online running max from the forward kernels (fast-math tier; exact
+    while |logits| < ~87 nats). Backward is max-subtracting regardless."""
+    from ..utils.env import env_flag
+
+    return env_flag("STABLEMTL_FLASH_FAST_SOFTMAX")
+
+
 def _pick_block(s: int, max_block: int = MAX_BLOCK) -> int:
     """Largest divisor of s that is <= max_block and a multiple of 8."""
     best = 0
@@ -48,18 +57,41 @@ def _pick_block(s: int, max_block: int = MAX_BLOCK) -> int:
 
 
 def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
-               scale: float):
+               scale: float, no_max: bool = False):
     # Matmuls run in the INPUT dtype with f32 accumulation: the MXU's
     # bf16xbf16->f32 path is ~4x the f32 matmul throughput on v5e, and
     # softmax statistics / the accumulator stay f32 regardless. The scale
     # is applied to the f32 scores (not pre-multiplied into a bf16 q,
     # which would round it away).
+    #
+    # no_max (STABLEMTL_FLASH_FAST_SOFTMAX): drop the running row max —
+    # p = exp2(s) directly. The softmax VPU chain (max reduce + exp2 +
+    # sum reduce) is the kernel's floor at these shapes (BENCH_NOTES.md);
+    # removing the max reduce and the acc rescale cuts a third of it.
+    # Numerically exact-in-f32 while |logits| < ~87 nats (exp2 argument
+    # within f32 range); LayerNormed q/k in trained diffusion UNets sit
+    # around +-30. The saved lse = log2(sum exp2(s)) is the same true
+    # logsumexp, so the (max-subtracting) backward is unchanged.
     q = q_ref[0]                                      # [Bq, D]
     bq, d = q.shape
     s_len = k_ref.shape[1]
     nk = s_len // block_k
 
     scale2 = scale * LOG2E
+
+    def body_fast(i, carry):
+        l_prev, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale2  # [Bq, Bk] f32
+        p = jnp.exp2(s)
+        l_cur = l_prev + p.sum(axis=-1)
+        acc = acc + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return l_cur, acc
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -77,10 +109,14 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
             preferred_element_type=jnp.float32)
         return m_cur, l_cur, acc
 
-    m0 = jnp.full((bq,), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq,), jnp.float32)
     acc0 = jnp.zeros((bq, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
+    if no_max:
+        l, acc = jax.lax.fori_loop(0, nk, body_fast, (l0, acc0))
+        m = jnp.zeros((bq,), jnp.float32)
+    else:
+        m0 = jnp.full((bq,), NEG_INF, jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
     o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
     # base-2 logsumexp per query row (softmax denominators for the
     # backward); stored lane-replicated [Bq, LANE] for TPU block tiling
@@ -183,7 +219,8 @@ def _flash_forward(q, k, v):
 
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     scale = float(d) ** -0.5
-    kernel = functools.partial(_fa_kernel, block_k=block_k, scale=scale)
+    kernel = functools.partial(_fa_kernel, block_k=block_k, scale=scale,
+                               no_max=_fast_softmax())
     grid = (b * h, sq // block_q)
 
     out, lse = pl.pallas_call(
@@ -301,7 +338,8 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 # ---------------------------------------------------------------------------
 
 def _fa_stream_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
-                      acc_scr, *, nk: int, scale: float):
+                      acc_scr, *, nk: int, scale: float,
+                      no_max: bool = False):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -318,6 +356,23 @@ def _fa_stream_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * (
                                 scale * LOG2E)
+    if no_max:
+        # fixed-max fast softmax (see _fa_kernel no_max note)
+        p = jnp.exp2(s)
+        l_cur = l_scr[:, 0] + p.sum(axis=-1)
+        acc_scr[...] = acc_scr[...] + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        l_scr[...] = jnp.broadcast_to(l_cur[:, None], l_scr.shape)
+
+        @pl.when(j == nk - 1)
+        def _flush_fast():
+            o_ref[0] = (acc_scr[...]
+                        / l_scr[:, 0][:, None]).astype(o_ref.dtype)
+            lse = jnp.log2(l_scr[:, 0])               # base-2 domain
+            lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
+        return
+
     m_prev = m_scr[:, 0]
     l_prev = l_scr[:, 0]
     m_cur = jnp.maximum(m_prev, s.max(axis=-1))
@@ -351,7 +406,8 @@ def _flash_stream_forward(q, k, v):
     nk = sk // block_k
 
     out, lse = pl.pallas_call(
-        functools.partial(_fa_stream_kernel, nk=nk, scale=scale),
+        functools.partial(_fa_stream_kernel, nk=nk, scale=scale,
+                          no_max=_fast_softmax()),
         grid=(b * h, sq // block_q, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),

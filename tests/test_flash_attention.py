@@ -89,6 +89,53 @@ def test_flash_bf16_matches_f32_reference():
                                    np.asarray(b), atol=0.15, rtol=0.1)
 
 
+def test_fast_softmax_matches_exact(monkeypatch):
+    """STABLEMTL_FLASH_FAST_SOFTMAX drops the running max from the forward
+    kernels (no-max fast softmax). For realistic logit magnitudes this is
+    exact to f32 rounding: forward output and the saved lse (hence the
+    backward) must match the XLA reference at the same tolerances as the
+    exact kernel, for both the resident and the streaming kernel."""
+    monkeypatch.setenv("STABLEMTL_FLASH_FAST_SOFTMAX", "1")
+    rng = np.random.RandomState(21)
+    B, S, H, D = 1, 256, 2, 64
+    q = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    cot = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    # backward consumes the fast-forward's saved lse; must stay exact
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v) * cot).sum()
+
+    def loss_ref(q, k, v):
+        return (_xla_attention(q, k, v) * cot).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
+
+    # streaming kernel (scratch-carried state)
+    from stablemtl_tpu.ops.flash_attention import _flash_stream_forward
+
+    qs = jnp.asarray(rng.randn(2, 1024, 1, 128), jnp.float32)
+    ks = jnp.asarray(rng.randn(2, 1024, 1, 128), jnp.float32)
+    vs = jnp.asarray(rng.randn(2, 1024, 1, 128), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        outs, lse = _flash_stream_forward(qs, ks, vs)
+    np.testing.assert_allclose(np.asarray(outs),
+                               np.asarray(_xla_attention(qs, ks, vs)),
+                               atol=2e-5)
+    assert np.isfinite(np.asarray(lse)).all()
+
+
 def test_bias_falls_back():
     rng = np.random.RandomState(2)
     B, S, H, D = 1, 64, 2, 16
