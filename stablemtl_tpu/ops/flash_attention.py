@@ -47,6 +47,15 @@ def _fast_softmax() -> bool:
     return env_flag("STABLEMTL_FLASH_FAST_SOFTMAX")
 
 
+def _mxu_lsum() -> bool:
+    """Trace-time switch: STABLEMTL_FLASH_MXU_LSUM=1 appends a ones column
+    to V so the softmax normalizer rides the P@V matmul (MXU) instead of a
+    VPU row-sum over every score element."""
+    from ..utils.env import env_flag
+
+    return env_flag("STABLEMTL_FLASH_MXU_LSUM")
+
+
 def _pick_block(s: int, max_block: int = MAX_BLOCK) -> int:
     """Largest divisor of s that is <= max_block and a multiple of 8."""
     best = 0
@@ -57,7 +66,7 @@ def _pick_block(s: int, max_block: int = MAX_BLOCK) -> int:
 
 
 def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
-               scale: float, no_max: bool = False):
+               scale: float, no_max: bool = False, mxu_lsum: bool = False):
     # Matmuls run in the INPUT dtype with f32 accumulation: the MXU's
     # bf16xbf16->f32 path is ~4x the f32 matmul throughput on v5e, and
     # softmax statistics / the accumulator stay f32 regardless. The scale
@@ -72,26 +81,20 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
     # within f32 range); LayerNormed q/k in trained diffusion UNets sit
     # around +-30. The saved lse = log2(sum exp2(s)) is the same true
     # logsumexp, so the (max-subtracting) backward is unchanged.
+    #
+    # mxu_lsum (STABLEMTL_FLASH_MXU_LSUM): the caller appends a ones
+    # column to V, so the softmax normalizer accumulates as acc[:, d]
+    # inside the P@V matmul (MXU, where d<=64 heads waste the lane tile
+    # anyway) instead of a VPU row-sum over every score element. l obeys
+    # the same rescale recurrence as acc, so this composes with either
+    # softmax mode; exact for f32 inputs, one bf16 rounding of p for bf16.
     q = q_ref[0]                                      # [Bq, D]
     bq, d = q.shape
+    dv = v_ref.shape[-1]                              # d (+1 when mxu_lsum)
     s_len = k_ref.shape[1]
     nk = s_len // block_k
 
     scale2 = scale * LOG2E
-
-    def body_fast(i, carry):
-        l_prev, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale2  # [Bq, Bk] f32
-        p = jnp.exp2(s)
-        l_cur = l_prev + p.sum(axis=-1)
-        acc = acc + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return l_cur, acc
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -100,24 +103,36 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale2  # [Bq, Bk] f32
-        m_cur = jnp.maximum(m_prev, s.max(axis=-1))
-        alpha = jnp.exp2(m_prev - m_cur)
-        p = jnp.exp2(s - m_cur[:, None])
-        l_cur = l_prev * alpha + p.sum(axis=-1)
-        acc = acc * alpha[:, None] + jax.lax.dot_general(
+        if no_max:
+            m_cur = m_prev
+            p = jnp.exp2(s)
+        else:
+            m_cur = jnp.maximum(m_prev, s.max(axis=-1))
+            p = jnp.exp2(s - m_cur[:, None])
+        pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if no_max:
+            acc = acc + pv
+            l_cur = l_prev if mxu_lsum else l_prev + p.sum(axis=-1)
+        else:
+            alpha = jnp.exp2(m_prev - m_cur)
+            acc = acc * alpha[:, None] + pv
+            l_cur = (l_prev * alpha if mxu_lsum
+                     else l_prev * alpha + p.sum(axis=-1))
         return m_cur, l_cur, acc
 
     l0 = jnp.zeros((bq,), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    if no_max:
-        l, acc = jax.lax.fori_loop(0, nk, body_fast, (l0, acc0))
-        m = jnp.zeros((bq,), jnp.float32)
+    acc0 = jnp.zeros((bq, dv), jnp.float32)
+    m0 = (jnp.zeros((bq,), jnp.float32) if no_max
+          else jnp.full((bq,), NEG_INF, jnp.float32))
+    m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
+    if mxu_lsum:
+        l = acc[:, d]
+        o = acc[:, :d] / l[:, None]
     else:
-        m0 = jnp.full((bq,), NEG_INF, jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
+        o = acc / l[:, None]
+    o_ref[0] = o.astype(o_ref.dtype)
     # base-2 logsumexp per query row (softmax denominators for the
     # backward); stored lane-replicated [Bq, LANE] for TPU block tiling
     lse = m + jnp.log2(l)
@@ -219,8 +234,13 @@ def _flash_forward(q, k, v):
 
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     scale = float(d) ** -0.5
+    mxu_lsum = _mxu_lsum()
+    if mxu_lsum:
+        vf = jnp.concatenate(
+            [vf, jnp.ones((b * h, sk, 1), vf.dtype)], axis=-1)
+    dv = d + 1 if mxu_lsum else d
     kernel = functools.partial(_fa_kernel, block_k=block_k, scale=scale,
-                               no_max=_fast_softmax())
+                               no_max=_fast_softmax(), mxu_lsum=mxu_lsum)
     grid = (b * h, sq // block_q)
 
     out, lse = pl.pallas_call(
@@ -231,7 +251,7 @@ def _flash_forward(q, k, v):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, sk, dv), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
