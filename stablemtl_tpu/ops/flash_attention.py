@@ -29,6 +29,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 MAX_BLOCK = 512
 NEG_INF = -1e30
+# no_max fast-softmax guard: clamp base-2 scores to +-FAST_CLAMP so a row
+# with |logits| beyond ~76 nats degrades gracefully (flattens toward the
+# clamp) instead of overflowing exp2 to inf (-> inf/inf = NaN output) or
+# fully underflowing to l=0 (-> 0/0). exp2(110) ~ 1.3e33; summed over a
+# 4096-token row and multiplied into the accumulator it stays well inside
+# f32 range. LayerNormed UNet q/k sit around +-30 nats (~43 in base 2), so
+# the clamp is never active on the shapes this flag targets.
+FAST_CLAMP = 110.0
 LANE = 8  # lane width for saved per-row vectors (lse/delta)
 LOG2E = 1.4426950408889634  # softmax runs in base 2: exp2 is ~1.6x exp on
 # the VPU (measured, BENCH_NOTES.md) and the log2(e) factor folds into the
@@ -50,7 +58,14 @@ def _fast_softmax() -> bool:
 def _mxu_lsum() -> bool:
     """Trace-time switch: STABLEMTL_FLASH_MXU_LSUM=1 appends a ones column
     to V so the softmax normalizer rides the P@V matmul (MXU) instead of a
-    VPU row-sum over every score element."""
+    VPU row-sum over every score element.
+
+    Scope: the RESIDENT kernel only (all UNet self-attention). The
+    K/V-streaming kernel (single-head d=512 VAE attention) ignores it —
+    its d+1=513 column would pad a whole extra lane tile, and that path is
+    MXU-starved already. Applied only when head_dim < 128 so the extra
+    column rides the existing lane padding (d=64 pads to 128 lanes with or
+    without it); at d>=128 it would double V's VMEM tile."""
     from ..utils.env import env_flag
 
     return env_flag("STABLEMTL_FLASH_MXU_LSUM")
@@ -105,7 +120,7 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
             preferred_element_type=jnp.float32) * scale2  # [Bq, Bk] f32
         if no_max:
             m_cur = m_prev
-            p = jnp.exp2(s)
+            p = jnp.exp2(jnp.clip(s, -FAST_CLAMP, FAST_CLAMP))
         else:
             m_cur = jnp.maximum(m_prev, s.max(axis=-1))
             p = jnp.exp2(s - m_cur[:, None])
@@ -234,7 +249,9 @@ def _flash_forward(q, k, v):
 
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     scale = float(d) ** -0.5
-    mxu_lsum = _mxu_lsum()
+    # d >= 128: the +1 column would spill into a fresh 128-lane tile,
+    # doubling V VMEM and the P@V tile cost — not worth the VPU saving
+    mxu_lsum = _mxu_lsum() and d < 128
     if mxu_lsum:
         vf = jnp.concatenate(
             [vf, jnp.ones((b * h, sk, 1), vf.dtype)], axis=-1)
@@ -378,7 +395,7 @@ def _fa_stream_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
                                 scale * LOG2E)
     if no_max:
         # fixed-max fast softmax (see _fa_kernel no_max note)
-        p = jnp.exp2(s)
+        p = jnp.exp2(jnp.clip(s, -FAST_CLAMP, FAST_CLAMP))
         l_cur = l_scr[:, 0] + p.sum(axis=-1)
         acc_scr[...] = acc_scr[...] + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -500,8 +517,14 @@ VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 def _vmem_bytes(sq: int, sk: int, d: int, itemsize: int) -> int:
     block_q = _pick_block(sq)
-    kv = 2 * sk * d * itemsize * 2          # K + V, double-buffered
-    q_acc = block_q * d * (itemsize + 4)    # q block + f32 accumulator
+    if _mxu_lsum() and d < 128:
+        # ones column appended to V: account V (and the accumulator) at
+        # the lane-padded d+1 width the kernel actually tiles
+        dv = -(-(d + 1) // 128) * 128
+    else:
+        dv = d
+    kv = sk * (d + dv) * itemsize * 2       # K + V, double-buffered
+    q_acc = block_q * d * itemsize + block_q * dv * 4  # q block + f32 acc
     p = block_q * _pick_block(sk) * 4       # score block
     return kv + 2 * q_acc + p
 

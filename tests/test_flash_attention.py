@@ -240,3 +240,113 @@ def test_dispatch_streams_large_head_dim():
 
     assert _vmem_bytes(4096, 4096, 512, 2) > VMEM_BUDGET_BYTES
     assert _stream_vmem_bytes(4096, 4096, 512, 2) < VMEM_BUDGET_BYTES
+
+
+@pytest.mark.parametrize("fast_softmax", [False, True])
+@pytest.mark.parametrize("use_bf16", [False, True])
+def test_mxu_lsum_matches_exact(monkeypatch, fast_softmax, use_bf16):
+    """STABLEMTL_FLASH_MXU_LSUM rides the softmax normalizer on the P@V
+    matmul (ones column on V). Alone and combined with FAST_SOFTMAX, in
+    f32 and bf16 (where the normalizer sums bf16-rounded p), forward and
+    backward must match the XLA reference at the same tolerances as the
+    corresponding exact-kernel tests."""
+    monkeypatch.setenv("STABLEMTL_FLASH_MXU_LSUM", "1")
+    if fast_softmax:
+        monkeypatch.setenv("STABLEMTL_FLASH_FAST_SOFTMAX", "1")
+    rng = np.random.RandomState(31)
+    B, S, H, D = 1, 256, 2, 64
+    qf = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    kf = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    vf = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    cot = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    ref = _xla_attention(qf, kf, vf)
+
+    if use_bf16:
+        q, k, v = (x.astype(jnp.bfloat16) for x in (qf, kf, vf))
+        atol_f, atol_b, rtol_b = 3e-2, 0.15, 0.1
+    else:
+        q, k, v = qf, kf, vf
+        atol_f, atol_b, rtol_b = 2e-5, 2e-4, 2e-4
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v)
+    assert out.dtype == q.dtype
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref), atol=atol_f, rtol=atol_f)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v).astype(jnp.float32) * cot).sum()
+
+    def loss_ref(q, k, v):
+        return (_xla_attention(q, k, v) * cot).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(qf, kf, vf)
+    for a, b in zip(g1, g2):
+        assert a.dtype == q.dtype
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b), atol=atol_b, rtol=rtol_b)
+
+
+def test_mxu_lsum_gated_at_large_head_dim(monkeypatch):
+    """d >= 128 must NOT take the ones-column path (it would double V's
+    lane tile); the flag is silently dropped and results stay exact."""
+    from stablemtl_tpu.ops.flash_attention import _flash_forward
+
+    monkeypatch.setenv("STABLEMTL_FLASH_MXU_LSUM", "1")
+    rng = np.random.RandomState(32)
+    q = jnp.asarray(rng.randn(1, 128, 1, 128), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 128, 1, 128), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 128, 1, 128), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out, lse = _flash_forward(q, k, v)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_xla_attention(q, k, v)),
+                               atol=2e-5, rtol=2e-5)
+    assert np.isfinite(np.asarray(lse)).all()
+
+
+def test_fast_softmax_extreme_logits_bounded(monkeypatch):
+    """The no_max path clamps base-2 scores to +-FAST_CLAMP: rows whose
+    logits exceed ~76 nats (far beyond any LayerNormed UNet activation)
+    must degrade gracefully — finite output, no inf/inf or 0/0 NaN —
+    for both the resident and the streaming kernel."""
+    monkeypatch.setenv("STABLEMTL_FLASH_FAST_SOFTMAX", "1")
+    from stablemtl_tpu.ops.flash_attention import (_flash_forward,
+                                                   _flash_stream_forward)
+
+    rng = np.random.RandomState(33)
+    B, S, H, D = 1, 128, 1, 32
+    base_q = rng.randn(B, S, H, D)
+    base_k = rng.randn(B, S, H, D)
+    v = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    for scale in (40.0, -40.0):  # logits ~ +-scale^2*sqrt(D)/sqrt(D) >> 87
+        q = jnp.asarray(base_q * scale, jnp.float32)
+        k = jnp.asarray(base_k * abs(scale), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out, lse = _flash_forward(q, k, v)
+            outs, _ = _flash_stream_forward(q, k, v)
+        assert np.isfinite(np.asarray(out)).all(), f"scale={scale}"
+        assert np.isfinite(np.asarray(outs)).all(), f"scale={scale}"
+        # outputs stay inside the convex hull of V rows
+        assert np.abs(np.asarray(out)).max() <= np.abs(np.asarray(v)).max() + 1e-3
+
+
+def test_fast_softmax_moderate_logits_exact(monkeypatch):
+    """Logits up to ~+-35 nats (the top of the LayerNormed-UNet range the
+    flag is argued for, well inside the clamp) must still be near-exact
+    under no_max. Beyond ~50 nats f32 exponent rounding itself dominates
+    (1 ulp of the exponent is ~1e-3 relative after exp2), so exactness
+    claims stop there by construction, clamp or not."""
+    monkeypatch.setenv("STABLEMTL_FLASH_FAST_SOFTMAX", "1")
+    rng = np.random.RandomState(34)
+    B, S, H, D = 1, 128, 1, 32
+    q = jnp.asarray(rng.randn(B, S, H, D) * 3.0, jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, H, D) * 3.0, jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
