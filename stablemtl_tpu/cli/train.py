@@ -31,6 +31,14 @@ def main(argv=None):
     parser.add_argument("--no_resume", action="store_true")
     args = parser.parse_args(argv)
 
+    # multi-host: jax.distributed.initialize BEFORE any other jax API
+    # creates the backend (env-gated; no-op single-process). Reference
+    # analogue: Accelerate's NCCL process group (train_stablemtl.py:176-184).
+    from ..parallel.distributed import (is_main_process, loader_shard,
+                                        maybe_initialize)
+
+    maybe_initialize()
+
     import jax
 
     from ..checkpoint import CheckpointManager
@@ -58,30 +66,35 @@ def main(argv=None):
                                                           "logging.log")))
     log = logging.getLogger("train")
 
-    # archive the resolved config + a code snapshot
-    # (reference train_stablemtl.py:222-236)
-    with open(os.path.join(args.output_dir, "config_resolved.json"),
-              "w") as f:
-        json.dump(cfg.to_dict(), f, indent=2, default=str)
-    try:
-        import tarfile
+    # archive the resolved config + a code snapshot — process 0 only
+    # (reference train_stablemtl.py:222-236; vis/TB/snapshots are host
+    # artifacts, checkpoint saves stay collective for sharded arrays)
+    main_proc = is_main_process()
+    if main_proc:
+        with open(os.path.join(args.output_dir, "config_resolved.json"),
+                  "w") as f:
+            json.dump(cfg.to_dict(), f, indent=2, default=str)
+        try:
+            import tarfile
 
-        pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        snap = os.path.join(args.output_dir, "code_snapshot.tar.gz")
-        if not os.path.exists(snap):
-            with tarfile.open(snap, "w:gz") as tar:
-                tar.add(pkg_dir, arcname="stablemtl_tpu",
-                        filter=lambda ti: None
-                        if "__pycache__" in ti.name else ti)
-    except OSError:
-        pass
+            pkg_dir = os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))
+            snap = os.path.join(args.output_dir, "code_snapshot.tar.gz")
+            if not os.path.exists(snap):
+                with tarfile.open(snap, "w:gz") as tar:
+                    tar.add(pkg_dir, arcname="stablemtl_tpu",
+                            filter=lambda ti: None
+                            if "__pycache__" in ti.name else ti)
+        except OSError:
+            pass
 
     seed = args.seed if args.seed is not None else \
         int(cfg.get("trainer", {}).get("init_seed", 2024))
     n_devices = jax.device_count()
     accum, per_step = accumulation_steps_of(cfg, n_devices)
-    log.info("devices=%d accumulation=%d per_step_batch=%d",
-             n_devices, accum, per_step)
+    log.info("devices=%d (process %d/%d, %d local) accumulation=%d "
+             "per_step_batch=%d", n_devices, jax.process_index(),
+             jax.process_count(), jax.local_device_count(), accum, per_step)
 
     pipeline = build_pipeline(cfg, seed=seed)
     opt_cfg = build_optimizer_config(cfg, accum)
@@ -123,9 +136,12 @@ def main(argv=None):
 
     loader = build_train_loader(cfg, args.base_data_dir, accum,
                                 per_step, seed=int(cfg["dataloader"]
-                                                   .get("seed", seed)))
+                                                   .get("seed", seed)),
+                                shard=loader_shard())
     val_datasets = build_val_datasets(cfg, args.base_data_dir, "val")
-    vis_datasets = build_val_datasets(cfg, args.base_data_dir, "vis")
+    # vis writes PNGs — a host artifact, process 0 only
+    vis_datasets = (build_val_datasets(cfg, args.base_data_dir, "vis")
+                    if main_proc else [])
 
     tcfg_src = cfg.get("trainer", {})
     tcfg = TrainerConfig(
@@ -145,7 +161,8 @@ def main(argv=None):
         output_dir=args.output_dir,
     )
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoint"))
-    writer = TensorBoardWriter(os.path.join(args.output_dir, "tensorboard"))
+    writer = (TensorBoardWriter(os.path.join(args.output_dir, "tensorboard"))
+              if main_proc else None)
 
     trainer = StableMTLTrainer(
         pipeline, state, loader, tcfg, ckpt=ckpt,

@@ -51,21 +51,43 @@ class MixedTaskLoader:
                  accumulation_steps: int = 1, seed: int = 0,
                  prob: Optional[Sequence[float]] = None,
                  iterative_sampling: bool = True,
-                 prefetch: int = 2):
+                 prefetch: int = 2,
+                 shard: Optional[tuple] = None):
+        """shard: optional (process_index, process_count) — multi-host data
+        sharding. `batch_size` stays the GLOBAL per-micro-step batch; the
+        schedule (task choice, dataset draw, sample indices, per-sample rng)
+        is computed identically on every process (it is (seed, step)-pure),
+        and each process materializes only its contiguous slice of each
+        batch. Per-sample rng keys use the GLOBAL position j, so the
+        sharded run is bit-identical to the single-host run."""
         self.datasets = list(datasets)
         self.schedule = MixedTaskSchedule(
             datasets, batch_size, accumulation_steps, seed=seed, prob=prob,
             iterative_sampling=iterative_sampling)
         self.seed = seed
         self.prefetch = prefetch
+        if shard is not None:
+            pi, pc = shard
+            if not (0 <= pi < pc):
+                raise ValueError(f"bad shard {shard}")
+            if batch_size % pc != 0:
+                raise ValueError(
+                    f"global batch_size {batch_size} not divisible by "
+                    f"process_count {pc}")
+        self.shard = shard
 
     def __len__(self):
         return len(self.schedule)
 
     def _make_batch(self, step: int, ds_idx: int, indices) -> dict:
         ds = self.datasets[ds_idx]
+        enum = list(enumerate(indices))
+        if self.shard is not None:
+            pi, pc = self.shard
+            k = len(enum) // pc
+            enum = enum[pi * k:(pi + 1) * k]
         samples = []
-        for j, idx in enumerate(indices):
+        for j, idx in enum:
             rng = np.random.default_rng(
                 np.random.SeedSequence([self.seed, 15485863, step, j]))
             samples.append(ds.get(int(idx), rng))

@@ -276,7 +276,7 @@ def load_pretrained(path: str, vae_params, unet_params, child_params,
 
 def build_train_loader(cfg: Config, base_data_dir: str,
                        accumulation_steps: int, batch_size: int,
-                       seed: int) -> MixedTaskLoader:
+                       seed: int, shard=None) -> MixedTaskLoader:
     depth_norm = get_depth_normalizer(cfg.get("depth_normalization", {}))
     aug_cfg_tree = cfg.get("augmentation", {})
 
@@ -295,7 +295,9 @@ def build_train_loader(cfg: Config, base_data_dir: str,
         datasets, batch_size=batch_size,
         accumulation_steps=accumulation_steps, seed=seed, prob=prob,
         iterative_sampling=bool(cfg["dataloader"].get(
-            "iterative_sampling", True)))
+            "iterative_sampling", True)),
+        prefetch=int(cfg["dataloader"].get("prefetch", 2)),
+        shard=shard)
 
 
 def build_val_datasets(cfg: Config, base_data_dir: str, split: str = "val"):

@@ -67,24 +67,44 @@ def shard_batch(batch, mesh: Mesh):
 
     A non-scalar whose leading dim is not divisible by the data-axis size is
     an error (it would silently replicate and lose data parallelism — an 8x
-    slowdown that looks like working code)."""
+    slowdown that looks like working code).
+
+    Multi-host: when the mesh spans multiple processes, each process passes
+    only its LOCAL slice of the global batch (the loader's shard) and the
+    global array is assembled with `jax.make_array_from_process_local_data`
+    — the divisibility check is then against the local data-axis extent."""
     data = batch_sharding(mesh)
     rep = replicated_sharding(mesh)
-    n_data = mesh.shape[DATA_AXIS]
+    multihost = jax.process_count() > 1
+    if multihost:
+        # data-axis extent addressable by THIS process: local devices
+        # divided by the model-axis size (model-axis peers share batch rows)
+        n_local = sum(1 for d in mesh.devices.flat
+                      if d.process_index == jax.process_index())
+        n_data = max(1, n_local // mesh.shape[MODEL_AXIS])
+    else:
+        n_data = mesh.shape[DATA_AXIS]
 
     def place(path, x):
         # metadata only — np.asarray on an already-device-resident leaf
         # would force a device->host fetch through the tunnel first
         shape = np.shape(x)
         if len(shape) == 0:
+            if multihost:
+                return jax.make_array_from_process_local_data(
+                    rep, np.asarray(x))
             return jax.device_put(x, rep)
         if shape[0] == 0 or shape[0] % n_data != 0:
             raise ValueError(
                 f"shard_batch: leaf {jax.tree_util.keystr(path)} has leading "
-                f"dim {shape[0]}, not divisible by the mesh data axis "
+                f"dim {shape[0]}, not divisible by the "
+                f"{'process-local ' if multihost else ''}mesh data axis "
                 f"({n_data}); this would silently replicate instead of "
                 f"sharding. Fix the batch size (or pass a 0-d scalar for "
                 f"per-batch values like task_idx).")
+        if multihost:
+            return jax.make_array_from_process_local_data(
+                data, np.asarray(x))
         return jax.device_put(x, data)
 
     return jax.tree_util.tree_map_with_path(place, batch)

@@ -378,3 +378,33 @@ def test_output_type_kwarg_honored(vkitti_tree):
         filename_ls_path=str(vkitti_tree / "depth.txt"),
         dataset_dir=str(vkitti_tree))
     assert ds2.output_type == "depth"
+
+
+def test_loader_shard_bit_identical():
+    """Multi-host loader sharding: two shard loaders' batches concatenate
+    to EXACTLY the unsharded loader's batches (same schedule, same
+    per-sample rng keyed by GLOBAL position)."""
+    dss = [_FakeDS(20, "depth"), _FakeDS(20, "normal", channels=3)]
+    full = list(MixedTaskLoader(dss, batch_size=4, seed=3, prefetch=0)
+                .batches(max_steps=3))
+    s0 = list(MixedTaskLoader(dss, batch_size=4, seed=3, prefetch=0,
+                              shard=(0, 2)).batches(max_steps=3))
+    s1 = list(MixedTaskLoader(dss, batch_size=4, seed=3, prefetch=0,
+                              shard=(1, 2)).batches(max_steps=3))
+    for f, a, b in zip(full, s0, s1):
+        assert a["rgb_norm"].shape[0] == 2 and b["rgb_norm"].shape[0] == 2
+        np.testing.assert_array_equal(
+            np.concatenate([a["rgb_norm"], b["rgb_norm"]]), f["rgb_norm"])
+        np.testing.assert_array_equal(
+            np.concatenate([a["target_3ch"], b["target_3ch"]]),
+            f["target_3ch"])
+        np.testing.assert_array_equal(a["task_idx"], f["task_idx"])
+        np.testing.assert_array_equal(b["task_idx"], f["task_idx"])
+
+
+def test_loader_shard_validation():
+    dss = [_FakeDS(20, "depth")]
+    with pytest.raises(ValueError, match="divisible"):
+        MixedTaskLoader(dss, batch_size=3, seed=0, shard=(0, 2))
+    with pytest.raises(ValueError, match="bad shard"):
+        MixedTaskLoader(dss, batch_size=4, seed=0, shard=(2, 2))
