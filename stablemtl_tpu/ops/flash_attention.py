@@ -47,12 +47,17 @@ LOG2E = 1.4426950408889634  # softmax runs in base 2: exp2 is ~1.6x exp on
 
 
 def _fast_softmax() -> bool:
-    """Trace-time kill switch: STABLEMTL_FLASH_FAST_SOFTMAX=1 drops the
-    online running max from the forward kernels (fast-math tier; exact
-    while |logits| < ~87 nats). Backward is max-subtracting regardless."""
+    """Trace-time switch: drop the online running max from the forward
+    kernels (exact while |logits| < ~76 nats, clamped beyond; backward is
+    max-subtracting regardless). Defaults to the STABLEMTL_FAST_MATH tier
+    — measured on chip (BENCH_NOTES r4): fwd 10.20->9.15 ms at the S=4096
+    H=5 x28 production shape and 1.52->1.23 ms at S=1024 H=10, fwd+bwd
+    21.9->20.6 / 3.36->3.15 ms. STABLEMTL_FLASH_FAST_SOFTMAX=0/1
+    overrides the tier either way."""
     from ..utils.env import env_flag
 
-    return env_flag("STABLEMTL_FLASH_FAST_SOFTMAX")
+    return env_flag("STABLEMTL_FLASH_FAST_SOFTMAX",
+                    default=env_flag("STABLEMTL_FAST_MATH"))
 
 
 def _mxu_lsum() -> bool:
