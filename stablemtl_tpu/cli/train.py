@@ -29,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--no_lr_scheduler", action="store_true")
     parser.add_argument("--max_iter", type=int, default=None)
     parser.add_argument("--no_resume", action="store_true")
+    parser.add_argument("--num_workers", type=int, default=None,
+                        help="loader worker processes (overrides "
+                             "dataloader.num_workers; 0 = in-process)")
     args = parser.parse_args(argv)
 
     # multi-host: jax.distributed.initialize BEFORE any other jax API
@@ -137,7 +140,8 @@ def main(argv=None):
     loader = build_train_loader(cfg, args.base_data_dir, accum,
                                 per_step, seed=int(cfg["dataloader"]
                                                    .get("seed", seed)),
-                                shard=loader_shard())
+                                shard=loader_shard(),
+                                num_workers=args.num_workers)
     val_datasets = build_val_datasets(cfg, args.base_data_dir, "val")
     # vis writes PNGs — a host artifact, process 0 only
     vis_datasets = (build_val_datasets(cfg, args.base_data_dir, "vis")

@@ -14,8 +14,10 @@ thread that overlaps with TPU steps is the right shape).
 
 from __future__ import annotations
 
+import multiprocessing as mp
 import queue
 import threading
+import traceback
 from typing import Iterator, Optional, Sequence
 
 import numpy as np
@@ -44,6 +46,37 @@ def collate_train_batch(samples: Sequence[dict]) -> dict:
     }
 
 
+def _pool_worker(loader: "MixedTaskLoader", wid: int, n_workers: int,
+                 start_step: int, max_steps: Optional[int], outq) -> None:
+    """Worker-process entry (module level: spawn pickles it by name).
+
+    Every worker replays the SAME deterministic schedule (it is
+    (seed, step)-pure) and builds only the batches at global positions
+    `pos % n_workers == wid` — so batch bytes are bit-identical to the
+    single-process loader for any worker count, and there is no
+    schedule-state channel between processes at all.
+
+    The worker must never touch jax: batch assembly is pure numpy, and a
+    first jax backend call in a child would dial the axon TPU tunnel
+    (CLAUDE.md hazard) and serialize all workers behind one claim."""
+    try:
+        loader.schedule.fast_forward(start_step)
+        produced = 0
+        while max_steps is None or produced < max_steps:
+            step = loader.schedule.step
+            try:
+                ds_idx, indices = next(loader.schedule)
+            except StopIteration:
+                break
+            if produced % n_workers == wid:
+                outq.put(("ok", step,
+                          loader._make_batch(step, ds_idx, indices)))
+            produced += 1
+        outq.put(("done", wid, None))
+    except BaseException:  # noqa: BLE001 — relayed to the parent, not handled
+        outq.put(("err", wid, traceback.format_exc()))
+
+
 class MixedTaskLoader:
     """Iterates (step-aligned) training batches over the mixed datasets."""
 
@@ -52,6 +85,7 @@ class MixedTaskLoader:
                  prob: Optional[Sequence[float]] = None,
                  iterative_sampling: bool = True,
                  prefetch: int = 2,
+                 num_workers: int = 0,
                  shard: Optional[tuple] = None):
         """shard: optional (process_index, process_count) — multi-host data
         sharding. `batch_size` stays the GLOBAL per-micro-step batch; the
@@ -59,13 +93,21 @@ class MixedTaskLoader:
         is computed identically on every process (it is (seed, step)-pure),
         and each process materializes only its contiguous slice of each
         batch. Per-sample rng keys use the GLOBAL position j, so the
-        sharded run is bit-identical to the single-host run."""
+        sharded run is bit-identical to the single-host run.
+
+        num_workers: 0 = in-process (plus the prefetch thread); N > 0 =
+        N spawned worker PROCESSES build batches round-robin by step (the
+        TPU-side answer to the reference's 16 torch dataloader workers,
+        train_base_config.yaml:60). Batches stay bit-identical and
+        step-ordered for any worker count; composes with `shard` (each
+        multi-host process runs its own local pool over its slice)."""
         self.datasets = list(datasets)
         self.schedule = MixedTaskSchedule(
             datasets, batch_size, accumulation_steps, seed=seed, prob=prob,
             iterative_sampling=iterative_sampling)
         self.seed = seed
         self.prefetch = prefetch
+        self.num_workers = int(num_workers)
         if shard is not None:
             pi, pc = shard
             if not (0 <= pi < pc):
@@ -96,10 +138,63 @@ class MixedTaskLoader:
         batch["dataset_idx"] = ds_idx
         return batch
 
+    def _pool_batches(self, start_step: int,
+                      max_steps: Optional[int]) -> Iterator[dict]:
+        """num_workers > 0 path: spawn worker processes, reorder by step.
+
+        The parent never computes a batch; it buffers out-of-order arrivals
+        (bounded by the queue size) and yields in schedule order. Worker
+        death without a message (OOM-kill, segfault) is detected by a
+        liveness sweep on queue timeouts instead of hanging forever."""
+        n = self.num_workers
+        ctx = mp.get_context("spawn")
+        outq = ctx.Queue(maxsize=2 * n + 2)
+        procs = [ctx.Process(target=_pool_worker,
+                             args=(self, wid, n, start_step, max_steps,
+                                   outq),
+                             daemon=True)
+                 for wid in range(n)]
+        for p in procs:
+            p.start()
+        try:
+            pending: dict = {}
+            next_step = start_step
+            done = 0
+            while done < n or pending:
+                if next_step in pending:
+                    yield pending.pop(next_step)
+                    next_step += 1
+                    continue
+                try:
+                    tag, a, b = outq.get(timeout=5.0)
+                except queue.Empty:
+                    dead = [p for p in procs
+                            if not p.is_alive() and p.exitcode != 0]
+                    if dead:
+                        raise RuntimeError(
+                            f"loader worker died with exit code "
+                            f"{dead[0].exitcode} (no traceback — killed?)")
+                    continue
+                if tag == "err":
+                    raise RuntimeError(f"loader worker {a} failed:\n{b}")
+                if tag == "done":
+                    done += 1
+                    continue
+                pending[a] = b
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join(timeout=10)
+            outq.close()
+
     def batches(self, start_step: int = 0,
                 max_steps: Optional[int] = None) -> Iterator[dict]:
         """Yield batches from micro-step `start_step` (resume = pass the
         restored step counter; the schedule replays deterministically)."""
+        if self.num_workers > 0:
+            yield from self._pool_batches(start_step, max_steps)
+            return
         self.schedule.fast_forward(start_step)
         produced = 0
 

@@ -276,7 +276,10 @@ def load_pretrained(path: str, vae_params, unet_params, child_params,
 
 def build_train_loader(cfg: Config, base_data_dir: str,
                        accumulation_steps: int, batch_size: int,
-                       seed: int, shard=None) -> MixedTaskLoader:
+                       seed: int, shard=None,
+                       num_workers=None) -> MixedTaskLoader:
+    """num_workers: overrides cfg dataloader.num_workers when not None
+    (the cli --num_workers flag)."""
     depth_norm = get_depth_normalizer(cfg.get("depth_normalization", {}))
     aug_cfg_tree = cfg.get("augmentation", {})
 
@@ -297,6 +300,8 @@ def build_train_loader(cfg: Config, base_data_dir: str,
         iterative_sampling=bool(cfg["dataloader"].get(
             "iterative_sampling", True)),
         prefetch=int(cfg["dataloader"].get("prefetch", 2)),
+        num_workers=int(num_workers if num_workers is not None
+                        else cfg["dataloader"].get("num_workers", 0)),
         shard=shard)
 
 

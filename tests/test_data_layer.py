@@ -280,6 +280,15 @@ class _FakeDS:
         }
 
 
+class _PoisonAt6DS(_FakeDS):
+    """Module-level (spawn-picklable) dataset that fails on sample 6."""
+
+    def get(self, idx, rng=None):
+        if idx == 6:
+            raise ValueError("corrupt sample")
+        return super().get(idx, rng)
+
+
 def test_schedule_round_robin_and_accumulation():
     dss = [_FakeDS(40, "depth"), _FakeDS(40, "normal"),
            _FakeDS(40, "depth"), _FakeDS(40, "optical_flow", channels=2)]
@@ -400,6 +409,34 @@ def test_loader_shard_bit_identical():
             f["target_3ch"])
         np.testing.assert_array_equal(a["task_idx"], f["task_idx"])
         np.testing.assert_array_equal(b["task_idx"], f["task_idx"])
+
+
+@pytest.mark.slow
+def test_loader_worker_pool_bit_identical():
+    """num_workers=2 (spawned processes) yields the SAME batches in the
+    SAME order as the in-process loader, including from a resume offset —
+    the schedule is (seed, step)-pure and workers own steps round-robin."""
+    dss = [_FakeDS(20, "depth"), _FakeDS(20, "normal", channels=3)]
+    ref = list(MixedTaskLoader(dss, batch_size=2, seed=5, prefetch=0)
+               .batches(start_step=2, max_steps=5))
+    pool = list(MixedTaskLoader(dss, batch_size=2, seed=5, prefetch=0,
+                                num_workers=2)
+                .batches(start_step=2, max_steps=5))
+    assert len(pool) == len(ref) == 5
+    for a, b in zip(ref, pool):
+        assert a["step"] == b["step"] and a["dataset_idx"] == b["dataset_idx"]
+        np.testing.assert_array_equal(a["rgb_norm"], b["rgb_norm"])
+        np.testing.assert_array_equal(a["target_3ch"], b["target_3ch"])
+        np.testing.assert_array_equal(a["task_idx"], b["task_idx"])
+
+
+@pytest.mark.slow
+def test_loader_worker_pool_propagates_exception():
+    loader = MixedTaskLoader([_PoisonAt6DS(8, "depth")], batch_size=2,
+                             seed=0, prefetch=0, num_workers=2)
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        for _ in loader.batches(max_steps=50):
+            pass
 
 
 def test_loader_shard_validation():

@@ -87,13 +87,16 @@ def main():
                       "min_max_quantile": 0.02})},
                 base_data_dir=root, mode=DatasetMode.TRAIN)
 
-        for tag, aug, prefetch in (("plain", None, 0),
-                                   ("plain", None, 2),
-                                   ("aug", train_aug, 0)):
+        for tag, aug, prefetch, workers in (("plain", None, 0, 0),
+                                            ("plain", None, 2, 0),
+                                            ("aug", train_aug, 0, 0),
+                                            ("aug", train_aug, 0, 2),
+                                            ("aug", train_aug, 0, 4)):
             loader = MixedTaskLoader([make_ds(aug)], batch_size=batch,
-                                     seed=0, prefetch=prefetch)
+                                     seed=0, prefetch=prefetch,
+                                     num_workers=workers)
             it = loader.batches(max_steps=steps + 2)
-            next(it); next(it)  # warm caches / thread spin-up
+            next(it); next(it)  # warm caches / thread or pool spin-up
             t0 = time.perf_counter()
             n = 0
             for b in it:
@@ -102,7 +105,8 @@ def main():
             dt = time.perf_counter() - t0
             print(json.dumps({
                 "variant":
-                    f"loader_{h}x{w}_b{batch}_{tag}_prefetch{prefetch}",
+                    f"loader_{h}x{w}_b{batch}_{tag}_prefetch{prefetch}"
+                    f"_workers{workers}",
                 "batches_per_sec": round(n / dt, 2),
                 "samples_per_sec": round(n * batch / dt, 2)}), flush=True)
     finally:
