@@ -314,10 +314,19 @@ class StableMTLPipeline:
 
     @staticmethod
     def _prefix_stack(state_single, state_two, flags):
-        """[K*B, ...] prefix state for a task axis folded into batch.
+        """[B*K, ...] prefix state for a task axis folded into batch.
 
         flags: per-slot two-frame indicator — python bools (static task
-        set) or a traced [K] vector (traced aux subset)."""
+        set) or a traced [K] vector (traced aux subset).
+
+        The fold is B-MAJOR (sample-major: rows b0t0, b0t1, ..., b1t0, ...)
+        — load-bearing for multi-chip: the batch axis is sharded over the
+        mesh's `data` axis, and only a merge whose SHARDED dim is major
+        stays expressible as a sharding of the folded axis. The old
+        task-major fold made the unfold reshape un-partitionable and GSPMD
+        fell back to "involuntary full rematerialization" (replicate +
+        re-shard) of the child taps at every task-attention layer
+        (MULTICHIP_r03 warning wall)."""
         if isinstance(flags, (list, tuple)):
             parts = [state_two if bool(f) else state_single for f in flags]
         else:
@@ -325,7 +334,8 @@ class StableMTLPipeline:
                 state_single, state_two, flags[i])
                 for i in range(flags.shape[0])]
         return jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+            lambda *xs: jnp.stack(xs, axis=1).reshape(
+                (xs[0].shape[0] * len(xs),) + xs[0].shape[1:]), *parts)
 
     def create_task_feats(self, lat, lat_next, main_idx, rng=None):
         """Frozen-child features for every auxiliary task, in ONE forward.
@@ -346,10 +356,14 @@ class StableMTLPipeline:
         aux_idx = self.aux_task_indices(main_idx)
         T = aux_idx.shape[0]
 
+        # B-MAJOR batch fold (see _prefix_stack docstring): the folded
+        # child batch is ordered b0t0, b0t1, ..., so the data-sharded B
+        # axis stays the major factor of the merged dim and GSPMD can
+        # shard fold and unfold without rematerialization.
         text = jnp.take(self.text_embed_table, aux_idx, axis=0)  # [T,L,D]
-        text = jnp.broadcast_to(text[:, None], (T, B) + text.shape[1:])
-        text = text.reshape((T * B,) + text.shape[2:])
-        t_vec = jnp.full((T * B,), FIXED_TIMESTEP, jnp.int32)
+        text = jnp.broadcast_to(text[None], (B, T) + text.shape[1:])
+        text = text.reshape((B * T,) + text.shape[2:])
+        t_vec = jnp.full((B * T,), FIXED_TIMESTEP, jnp.int32)
         cparams = jax.lax.stop_gradient(self.unet_child_params)
 
         if self._prefix_share_ok():
@@ -366,10 +380,11 @@ class StableMTLPipeline:
             rgb_lat = self.rgb_latent_for_task(lat, lat_next, aux_idx)
             noise = self.noise_latent(rgb_lat[..., :4], rng)
             x = jnp.concatenate([rgb_lat, noise], axis=-1)  # [T,B,h,w,12]
-            x = x.reshape((T * B,) + x.shape[2:])
+            x = jnp.swapaxes(x, 0, 1).reshape((B * T,) + x.shape[2:])
             _, taps = self.unet_child.apply(
                 cparams, x, t_vec, text, tap=self.child_tap, train=False)
-        feats = [t.reshape((T, B) + t.shape[1:]) for t in taps]
+        feats = [jnp.swapaxes(t.reshape((B, T) + t.shape[1:]), 0, 1)
+                 for t in taps]
         return aux_idx, feats
 
     def child_taps_all_tasks(self, lat, lat_next, rng=None):
@@ -383,10 +398,11 @@ class StableMTLPipeline:
         if not self.is_multi_stream:
             return None
         B = lat.shape[0]
-        text = jnp.broadcast_to(self.text_embed_table[:, None],
-                                (N_TASKS, B) + self.text_embed_table.shape[1:])
-        text = text.reshape((N_TASKS * B,) + text.shape[2:])
-        t_vec = jnp.full((N_TASKS * B,), FIXED_TIMESTEP, jnp.int32)
+        # B-MAJOR batch fold (see _prefix_stack docstring)
+        text = jnp.broadcast_to(self.text_embed_table[None],
+                                (B, N_TASKS) + self.text_embed_table.shape[1:])
+        text = text.reshape((B * N_TASKS,) + text.shape[2:])
+        t_vec = jnp.full((B * N_TASKS,), FIXED_TIMESTEP, jnp.int32)
         cparams = jax.lax.stop_gradient(self.unet_child_params)
         if self._prefix_share_ok():
             # the task-independent prefix (conv_in -> first self-attn) is
@@ -403,10 +419,11 @@ class StableMTLPipeline:
             rgb_lat = self.rgb_latent_for_task(lat, lat_next, all_idx)
             noise = self.noise_latent(rgb_lat[..., :4], rng)
             x = jnp.concatenate([rgb_lat, noise], axis=-1)
-            x = x.reshape((N_TASKS * B,) + x.shape[2:])
+            x = jnp.swapaxes(x, 0, 1).reshape((B * N_TASKS,) + x.shape[2:])
             _, taps = self.unet_child.apply(
                 cparams, x, t_vec, text, tap=self.child_tap, train=False)
-        return [t.reshape((N_TASKS, B) + t.shape[1:]) for t in taps]
+        return [jnp.swapaxes(t.reshape((B, N_TASKS) + t.shape[1:]), 0, 1)
+                for t in taps]
 
     # ---- inference ----------------------------------------------------
 
