@@ -58,7 +58,14 @@ def _pool_worker(loader: "MixedTaskLoader", wid: int, n_workers: int,
 
     The worker must never touch jax: batch assembly is pure numpy, and a
     first jax backend call in a child would dial the axon TPU tunnel
-    (CLAUDE.md hazard) and serialize all workers behind one claim."""
+    (CLAUDE.md hazard) and serialize all workers behind one claim — the
+    env guard below makes that impossible even if a dataset transitively
+    triggers a backend lookup (blanking the pool IP skips axon
+    registration entirely; must run before any jax `backends()` call)."""
+    import os
+
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["JAX_PLATFORMS"] = "cpu"
     try:
         loader.schedule.fast_forward(start_step)
         produced = 0

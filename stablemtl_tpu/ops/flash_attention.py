@@ -60,6 +60,58 @@ def _fast_softmax() -> bool:
                     default=env_flag("STABLEMTL_FAST_MATH"))
 
 
+def _poly_exp() -> int:
+    """Trace-time switch: STABLEMTL_FLASH_POLY_EXP = 0 (off) | 3 | 4 —
+    replace the kernels' exp2 transcendental with a degree-3/4 minimax
+    polynomial on the fractional part plus direct exponent-bit
+    construction (no transcendental at all). The VPU's exp2 unit is the
+    measured floor of the S=4096 softmax chain; a polynomial runs on the
+    plain ALU lanes instead. Max relative error: 7.7e-5 (deg 3) /
+    2.7e-6 (deg 4) — the probabilities are cast to bf16 (~4e-3 ulp) for
+    the P@V matmul anyway. Forward kernels only; the backward recomputes
+    p with the exact exp2 (gradient parity stays at the 2e-4 test bar)."""
+    import os
+
+    val = os.environ.get("STABLEMTL_FLASH_POLY_EXP", "0").strip()
+    return int(val) if val in ("3", "4") else 0
+
+
+# minimax-ish (iteratively reweighted LSQ) coefficients for 2^f, f in [0,1)
+_EXP2_POLY_COEFFS = {
+    3: (0.07801587, 0.22605866, 0.69584812, 0.99992266),
+    4: (0.01353328, 0.05201061, 0.24144534, 0.69300269, 1.00000269),
+}
+
+
+def _exp2_fast(x, degree: int):
+    """2^x for f32 x in [-126, 127]: 2^floor(x) * poly(frac(x)).
+
+    The 2^n factor is built directly in the f32 exponent bits
+    ((n+127) << 23 bitcast to float), so the whole thing is floor + sub +
+    `degree` FMAs + int convert/shift/add + bitcast + mul on plain VPU
+    lanes — no transcendental. The lower clamp makes deeply-negative
+    arguments (the running-max path feeds m_prev - m_cur = -1e30 on the
+    first block, where exp2 must return ~0) land on 2^-126 ~= 1.2e-38
+    instead of overflowing the int32 exponent construction."""
+    x = jnp.maximum(x, -126.0)
+    xi = jnp.floor(x)
+    f = x - xi
+    c = _EXP2_POLY_COEFFS[degree]
+    p = jnp.full_like(f, c[0])
+    for ci in c[1:]:
+        p = p * f + ci
+    n = xi.astype(jnp.int32)
+    scale = jax.lax.bitcast_convert_type((n + 127) << 23, jnp.float32)
+    return p * scale
+
+
+def _make_exp2(poly_deg: int):
+    """The forward kernels' exp2: hardware transcendental or polynomial."""
+    if poly_deg:
+        return functools.partial(_exp2_fast, degree=poly_deg)
+    return jnp.exp2
+
+
 def _mxu_lsum() -> bool:
     """Trace-time switch: STABLEMTL_FLASH_MXU_LSUM=1 appends a ones column
     to V so the softmax normalizer rides the P@V matmul (MXU) instead of a
@@ -86,7 +138,8 @@ def _pick_block(s: int, max_block: int = MAX_BLOCK) -> int:
 
 
 def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
-               scale: float, no_max: bool = False, mxu_lsum: bool = False):
+               scale: float, no_max: bool = False, mxu_lsum: bool = False,
+               poly_deg: int = 0):
     # Matmuls run in the INPUT dtype with f32 accumulation: the MXU's
     # bf16xbf16->f32 path is ~4x the f32 matmul throughput on v5e, and
     # softmax statistics / the accumulator stay f32 regardless. The scale
@@ -115,6 +168,7 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
     nk = s_len // block_k
 
     scale2 = scale * LOG2E
+    e2 = _make_exp2(poly_deg)
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -125,10 +179,10 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
             preferred_element_type=jnp.float32) * scale2  # [Bq, Bk] f32
         if no_max:
             m_cur = m_prev
-            p = jnp.exp2(jnp.clip(s, -FAST_CLAMP, FAST_CLAMP))
+            p = e2(jnp.clip(s, -FAST_CLAMP, FAST_CLAMP))
         else:
             m_cur = jnp.maximum(m_prev, s.max(axis=-1))
-            p = jnp.exp2(s - m_cur[:, None])
+            p = e2(s - m_cur[:, None])
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -136,7 +190,7 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
             acc = acc + pv
             l_cur = l_prev if mxu_lsum else l_prev + p.sum(axis=-1)
         else:
-            alpha = jnp.exp2(m_prev - m_cur)
+            alpha = e2(m_prev - m_cur)
             acc = acc * alpha[:, None] + pv
             l_cur = (l_prev * alpha if mxu_lsum
                      else l_prev * alpha + p.sum(axis=-1))
@@ -262,7 +316,8 @@ def _flash_forward(q, k, v):
             [vf, jnp.ones((b * h, sk, 1), vf.dtype)], axis=-1)
     dv = d + 1 if mxu_lsum else d
     kernel = functools.partial(_fa_kernel, block_k=block_k, scale=scale,
-                               no_max=_fast_softmax(), mxu_lsum=mxu_lsum)
+                               no_max=_fast_softmax(), mxu_lsum=mxu_lsum,
+                               poly_deg=_poly_exp())
     grid = (b * h, sq // block_q)
 
     out, lse = pl.pallas_call(
@@ -381,7 +436,8 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 def _fa_stream_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
                       acc_scr, *, nk: int, scale: float,
-                      no_max: bool = False):
+                      no_max: bool = False, poly_deg: int = 0):
+    e2 = _make_exp2(poly_deg)
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -400,7 +456,7 @@ def _fa_stream_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
                                 scale * LOG2E)
     if no_max:
         # fixed-max fast softmax (see _fa_kernel no_max note)
-        p = jnp.exp2(jnp.clip(s, -FAST_CLAMP, FAST_CLAMP))
+        p = e2(jnp.clip(s, -FAST_CLAMP, FAST_CLAMP))
         l_cur = l_scr[:, 0] + p.sum(axis=-1)
         acc_scr[...] = acc_scr[...] + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -418,8 +474,8 @@ def _fa_stream_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
     m_prev = m_scr[:, 0]
     l_prev = l_scr[:, 0]
     m_cur = jnp.maximum(m_prev, s.max(axis=-1))
-    alpha = jnp.exp2(m_prev - m_cur)
-    p = jnp.exp2(s - m_cur[:, None])
+    alpha = e2(m_prev - m_cur)
+    p = e2(s - m_cur[:, None])
     l_cur = l_prev * alpha + p.sum(axis=-1)
     acc_scr[...] = acc_scr[...] * alpha[:, None] + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -449,7 +505,7 @@ def _flash_stream_forward(q, k, v):
 
     out, lse = pl.pallas_call(
         functools.partial(_fa_stream_kernel, nk=nk, scale=scale,
-                          no_max=_fast_softmax()),
+                          no_max=_fast_softmax(), poly_deg=_poly_exp()),
         grid=(b * h, sq // block_q, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),

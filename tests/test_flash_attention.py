@@ -289,6 +289,55 @@ def test_mxu_lsum_matches_exact(monkeypatch, fast_softmax, use_bf16):
                                    np.asarray(b), atol=atol_b, rtol=rtol_b)
 
 
+@pytest.mark.parametrize("degree", [3, 4])
+@pytest.mark.parametrize("fast_softmax", [False, True])
+def test_poly_exp_matches_exact(monkeypatch, degree, fast_softmax):
+    """STABLEMTL_FLASH_POLY_EXP replaces the forward kernels' exp2 with a
+    degree-3/4 polynomial (exponent-bit construction). Both the running-max
+    path (exp2 args include the -1e30 first-block alpha) and the no_max
+    path, resident and streaming kernels, must match the XLA reference
+    within the poly's error budget; the backward (exact exp2, lse from the
+    poly forward) must stay near the exact-kernel gradient bar."""
+    monkeypatch.setenv("STABLEMTL_FLASH_POLY_EXP", str(degree))
+    monkeypatch.setenv("STABLEMTL_FLASH_FAST_SOFTMAX",
+                       "1" if fast_softmax else "0")
+    from stablemtl_tpu.ops.flash_attention import (_flash_forward,
+                                                   _flash_stream_forward)
+
+    rng = np.random.RandomState(41)
+    B, S, H, D = 1, 256, 2, 64
+    q = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    cot = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    # poly rel err 7.7e-5 (deg 3) / 2.7e-6 (deg 4) flows into p and 1/l
+    atol_f = 4e-4 if degree == 3 else 3e-5
+    atol_b = 8e-4 if degree == 3 else 3e-4
+
+    with pltpu.force_tpu_interpret_mode():
+        out, lse = _flash_forward(q, k, v)
+        outs, _ = _flash_stream_forward(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=atol_f, rtol=atol_f)
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(ref),
+                               atol=atol_f, rtol=atol_f)
+    assert np.isfinite(np.asarray(lse)).all()
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v).astype(jnp.float32) * cot).sum()
+
+    def loss_ref(q, k, v):
+        return (_xla_attention(q, k, v) * cot).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=atol_b, rtol=atol_b)
+
+
 def test_mxu_lsum_gated_at_large_head_dim(monkeypatch):
     """d >= 128 must NOT take the ones-column path (it would double V's
     lane tile); the flag is silently dropped and results stay exact."""

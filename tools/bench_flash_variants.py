@@ -42,9 +42,15 @@ COMBOS = (
     ("mxu_lsum", {"STABLEMTL_FLASH_MXU_LSUM": "1"}),
     ("fast+lsum", {"STABLEMTL_FLASH_FAST_SOFTMAX": "1",
                    "STABLEMTL_FLASH_MXU_LSUM": "1"}),
+    ("poly3", {"STABLEMTL_FLASH_POLY_EXP": "3"}),
+    ("fast+poly3", {"STABLEMTL_FLASH_FAST_SOFTMAX": "1",
+                    "STABLEMTL_FLASH_POLY_EXP": "3"}),
+    ("fast+poly4", {"STABLEMTL_FLASH_FAST_SOFTMAX": "1",
+                    "STABLEMTL_FLASH_POLY_EXP": "4"}),
 )
 
-FLAG_KEYS = ("STABLEMTL_FLASH_FAST_SOFTMAX", "STABLEMTL_FLASH_MXU_LSUM")
+FLAG_KEYS = ("STABLEMTL_FLASH_FAST_SOFTMAX", "STABLEMTL_FLASH_MXU_LSUM",
+             "STABLEMTL_FLASH_POLY_EXP")
 
 
 def timed_slope(fn, iters=16):

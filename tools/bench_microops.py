@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""VPU/MXU micro-attribution benches for the UNet-stream gap (round 4).
+
+1. exp2 vs polynomial exp2 (exponent-bit construction + minimax poly on
+   the fractional part): the flash kernels' softmax is exp-throughput
+   bound at S=4096 (BENCH_NOTES r3: ~8.3 ms of the 9.15 ms kernel is
+   exp2 at the measured 282 Gelem/s). If a poly beats the hardware
+   transcendental, it goes into the kernels behind a fast_math-tier flag.
+
+2. task-attn Q-MLP (LN + 4-layer 640-hidden MLPv2 with per-stream
+   gathered bank weights) vs the same FLOPs as a plain GEGLU FF: the
+   per-module table shows 57 vs 130-178 TFLOPS — where does the 2.5x go?
+   Variants isolate the suspects: the [7,...] batched-matmul form, the
+   LN, the f32->bf16 cast chain, the bias adds.
+
+Timing: chained-fori_loop slope + scalar fetch (bench.py methodology).
+Usage: python tools/bench_microops.py [exp2 qmlp]
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+from stablemtl_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed_slope(fn, iters=8):
+    def run(n):
+        t0 = time.perf_counter()
+        float(fn(n))
+        return time.perf_counter() - t0
+
+    run(1)
+    t1, t2 = run(2), run(2 + iters)
+    return max((t2 - t1) / iters, 1e-9)
+
+
+def report(name, per_iter_s, elems=None, flops=None):
+    rec = {"component": name, "ms_per_iter": round(per_iter_s * 1000, 3)}
+    if elems:
+        rec["gelem_per_s"] = round(elems / per_iter_s / 1e9, 1)
+    if flops:
+        rec["achieved_tflops"] = round(flops / per_iter_s / 1e12, 1)
+    print(json.dumps(rec), flush=True)
+
+
+# ---- polynomial exp2 -------------------------------------------------------
+
+def exp2_poly(x, degree: int):
+    """2^x for x in +-126: split int/frac, poly for 2^frac on [0,1),
+    exponent via direct f32 bit construction (no second transcendental)."""
+    xi = jnp.floor(x)
+    f = x - xi                                    # [0, 1)
+    if degree == 2:
+        c = (0.33711385, 0.65756022, 1.00177529)   # ~1.8e-3 max rel
+    elif degree == 3:
+        c = (0.07801587, 0.22605866, 0.69584812, 0.99992266)  # ~7.7e-5
+    else:  # degree 4
+        c = (0.01353328, 0.05201061, 0.24144534, 0.69300269,
+             1.00000269)                            # ~2.7e-6
+    p = jnp.full_like(f, c[0])
+    for ci in c[1:]:
+        p = p * f + ci
+    n = xi.astype(jnp.int32)
+    scale = jax.lax.bitcast_convert_type(
+        ((n + 127) << 23).astype(jnp.int32), jnp.float32)
+    return p * scale
+
+
+def bench_exp2():
+    shape = (28 * 5, 2048, 512)   # ~147M elems, f32 (the softmax domain)
+    elems = int(np.prod(shape))
+    x0 = jax.jit(lambda: jax.random.uniform(
+        jax.random.PRNGKey(0), shape, jnp.float32, -40.0, 40.0))()
+
+    def chain_of(f):
+        @jax.jit
+        def chain(n, x):
+            def body(_, carry):
+                x, acc = carry
+                y = f(x)
+                s = y.mean()
+                return x + s * 1e-20, acc + s
+
+            _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
+            return acc
+
+        return chain
+
+    for name, f in [
+        ("exp2_builtin", jnp.exp2),
+        ("exp_builtin", jnp.exp),
+        ("exp2_poly4", functools.partial(exp2_poly, degree=4)),
+        ("exp2_poly3", functools.partial(exp2_poly, degree=3)),
+        ("exp2_poly2", functools.partial(exp2_poly, degree=2)),
+        ("mul_ref", lambda x: x * 1.0000001),      # simple-op roofline
+    ]:
+        ch = chain_of(f)
+        per = timed_slope(lambda n: ch(n, x0))
+        report(name, per, elems=elems)
+
+    # numeric check of the polys on device (reduce to scalars; never fetch
+    # arrays through the tunnel). x passed as an ARGUMENT — closing over it
+    # bakes 147M constants into the HLO and the remote compile rejects the
+    # body (HTTP 413).
+    err_fn = jax.jit(lambda x, d: jnp.max(jnp.abs(
+        exp2_poly(x, d) / jnp.exp2(x) - 1.0)), static_argnums=1)
+    for deg in (2, 3, 4):
+        print(json.dumps({"component": f"exp2_poly{deg}_max_rel_err",
+                          "value": float(err_fn(x0, deg))}), flush=True)
+
+
+# ---- task-attn Q-MLP attribution ------------------------------------------
+
+def bench_qmlp():
+    S, B, N, C, H = 7, 4, 4096, 320, 640
+    dt = jnp.bfloat16
+    r = np.random.RandomState(0)
+
+    def dev(shape, k):
+        return jax.jit(lambda: jax.random.normal(
+            jax.random.PRNGKey(k), shape, dt))()
+
+    x = dev((S, B, N, C), 0)
+    ws = [jnp.asarray(r.standard_normal((S, a, b)) * 0.02, dt)
+          for a, b in ((C, H), (H, H), (H, H), (H, C))]
+    bs = [jnp.zeros((S, b), dt) for b in (H, H, H, C)]
+    ln_s = jnp.ones((S, C), jnp.float32)
+    ln_b = jnp.zeros((S, C), jnp.float32)
+    flops = 2.0 * S * B * N * (C * H + H * H + H * H + H * C)
+
+    def ln(h, s, b):
+        hf = h.astype(jnp.float32)
+        mu = hf.mean(-1, keepdims=True)
+        var = hf.var(-1, keepdims=True)
+        return ((hf - mu) * jax.lax.rsqrt(var + 1e-5)
+                * s[:, None, None] + b[:, None, None]).astype(h.dtype)
+
+    def gelu(h):
+        return jax.nn.gelu(h, approximate=True)
+
+    def mlp_full(x, ws, bs):      # production form: LN + f32-acc + bias
+        h = ln(x, ln_s, ln_b)
+        for i, (w, b) in enumerate(zip(ws, bs)):
+            h = jnp.einsum("sbnc,scd->sbnd", h, w,
+                           preferred_element_type=jnp.float32).astype(dt)
+            h = h + b[:, None, None, :]
+            if i < 3:
+                h = gelu(h)
+        return h
+
+    def mlp_noln(x, ws, bs):
+        h = x
+        for i, (w, b) in enumerate(zip(ws, bs)):
+            h = jnp.einsum("sbnc,scd->sbnd", h, w,
+                           preferred_element_type=jnp.float32).astype(dt)
+            h = h + b[:, None, None, :]
+            if i < 3:
+                h = gelu(h)
+        return h
+
+    def mlp_flat(x, ws, bs):      # fold (b n) so each stream is one matmul
+        h = x.reshape(S, B * N, C)
+        for i, (w, b) in enumerate(zip(ws, bs)):
+            h = jnp.einsum("stc,scd->std", h, w,
+                           preferred_element_type=jnp.float32).astype(dt)
+            h = h + b[:, None, :]
+            if i < 3:
+                h = gelu(h)
+        return h.reshape(S, B, N, -1)
+
+    def mlp_bf16acc(x, ws, bs):   # accumulate in bf16 (accuracy cost)
+        h = x
+        for i, (w, b) in enumerate(zip(ws, bs)):
+            h = jnp.einsum("sbnc,scd->sbnd", h, w) + b[:, None, None, :]
+            if i < 3:
+                h = gelu(h)
+        return h
+
+    def chain_of(f):
+        @jax.jit
+        def chain(n, x, ws, bs):
+            def body(_, carry):
+                x, acc = carry
+                y = f(x, ws, bs)
+                s = y.mean().astype(jnp.float32)
+                return x + (s * 1e-6).astype(x.dtype), acc + s
+
+            _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
+            return acc
+
+        return chain
+
+    for name, f in [("qmlp_full", mlp_full), ("qmlp_noln", mlp_noln),
+                    ("qmlp_flat", mlp_flat), ("qmlp_bf16acc", mlp_bf16acc)]:
+        ch = chain_of(f)
+        per = timed_slope(lambda n: ch(n, x, ws, bs))
+        report(name, per, flops=flops)
+
+
+if __name__ == "__main__":
+    parts = sys.argv[1:] or ["exp2", "qmlp"]
+    if "exp2" in parts:
+        bench_exp2()
+    if "qmlp" in parts:
+        bench_qmlp()
