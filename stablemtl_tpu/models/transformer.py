@@ -28,9 +28,30 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention
+from ..utils.env import env_flag
 from .layers import FeedForward
 
 NEG_INF = -1e9
+
+
+def _taskattn_bmr() -> bool:
+    """Trace-time switch: STABLEMTL_TASKATTN_BMR=1 computes the task-axis
+    attention einsums as fused broadcast-mul-reduce instead of
+    dot_general. The einsum form batches per-(pixel, head) matmuls of
+    shape [1, d] x [d, T] with T=n_tasks=7 — the MXU pads every one of
+    them to 128-cube tiles; the mul+reduce form does the identical math
+    on the VPU with no padding, and keeping the scores/probs task-major
+    ([T, B, N, h]) end-to-end avoids a [B,N,h,T]<->[T,B,N,h] transpose
+    pair that costs more than the chain itself at stage 1. Measured on
+    chip (tools/bench_microops.py taskchain; BENCH_NOTES r4): 1.47x at
+    stage 0, 1.39x at stage 1 over the production einsums. Defaults to
+    the STABLEMTL_FAST_MATH tier; STABLEMTL_TASKATTN_BMR=0/1 overrides
+    either way. Same math, f32 mul instead of bf16-input MXU dot
+    (slightly MORE precise); parity at the f32-association level
+    (tests/test_models.py::test_taskattn_bmr_matches_einsum).
+    """
+    return env_flag("STABLEMTL_TASKATTN_BMR",
+                    default=env_flag("STABLEMTL_FAST_MATH"))
 
 TAP_POINTS = (
     "beforeSelfAttn",
@@ -239,11 +260,26 @@ class TaskAttentionBank(nn.Module):
         vh = outs["v"].reshape(T_aux, B, N, h, d)
 
         scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
-        scores = jnp.einsum("bnhd,tbnhd->bnht", qh, kh,
-                            preferred_element_type=jnp.float32) * scale
+        bmr = _taskattn_bmr()
+        if bmr:
+            # Fused broadcast-mul-reduce, task-major: scores stay
+            # [T_aux, B, N, h] all the way through the softmax (see
+            # _taskattn_bmr for the measured rationale — the dot_general
+            # form pads 1xdxT matmuls to 128-cube MXU tiles, and a
+            # restore-the-layout transpose pair costs more than the
+            # whole chain at stage 1).
+            scores = (qh[None].astype(jnp.float32)
+                      * kh.astype(jnp.float32)).sum(-1) * scale
+        else:
+            scores = jnp.einsum("bnhd,tbnhd->bnht", qh, kh,
+                                preferred_element_type=jnp.float32) * scale
+
+        def add_key_bias(scores, b):
+            # b: [T_aux] f32 — broadcast over (B, N, h) in either layout
+            return scores + (b[:, None, None, None] if bmr else b)
 
         if task_key_bias is not None:
-            scores = scores + task_key_bias  # [T] broadcast over b,n,h
+            scores = add_key_bias(scores, task_key_bias)
 
         # In the task_kv path the key axis is ALL n_tasks with excluded
         # tasks -inf-biased, not the gathered T_aux subset: tell the mask
@@ -251,13 +287,19 @@ class TaskAttentionBank(nn.Module):
         # (or count) already-excluded keys.
         key_valid = (None if task_key_bias is None
                      else task_key_bias > NEG_INF / 2)
-        bias = self._mask_bias(scores, T_aux, train, key_valid=key_valid)
+        bias = self._mask_bias(scores, T_aux, train, key_valid=key_valid,
+                               t_major=bmr)
         if bias is not None:
-            scores = scores + bias  # [T_aux] broadcast over b,n,h
+            scores = add_key_bias(scores, bias)
 
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bnht,tbnhd->bnhd", probs, vh,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
+        if bmr:
+            probs = jax.nn.softmax(scores, axis=0).astype(self.dtype)
+            out = (probs[..., None] * vh).sum(0)
+        else:
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bnht,tbnhd->bnhd", probs, vh,
+                             preferred_element_type=jnp.float32) \
+                .astype(self.dtype)
         out = out.reshape(B, N, C)
 
         # zero-initialized output projection: module starts as identity
@@ -266,16 +308,20 @@ class TaskAttentionBank(nn.Module):
         b_out = self.param("to_out_task_bias", zeros, (C,))
         return out @ w_out.astype(self.dtype) + b_out.astype(self.dtype)
 
-    def _mask_bias(self, scores, T_aux: int, train: bool, key_valid=None):
+    def _mask_bias(self, scores, T_aux: int, train: bool, key_valid=None,
+                   t_major: bool = False):
         """Stochastic task-masking regularizer (attention.py:522-583).
 
         With prob attn_mask_ratio, pick task(s) from the mean attention
-        distribution (strategy-dependent) and bias their keys to -inf.
+        distribution (strategy-dependent) and bias their keys to -inf;
+        returns a flat [T_aux] bias (the caller orients the broadcast).
         key_valid ([T] bool or None): which keys are real — in the task_kv
         layout the axis spans ALL tasks and the main task is already
         -inf-excluded; without this, 'random' could waste its pick on the
         excluded key (silently lowering the effective mask ratio) and
         'attn_prob_random_k' could mask ALL real keys.
+        t_major: scores are [T_aux, B, N, h] (the bmr layout) instead of
+        [B, N, h, T_aux]; the softmax/mean axes swap accordingly.
         """
         if not train or self.attn_mask_ratio <= 0.0 or T_aux <= 1:
             return None
@@ -285,8 +331,12 @@ class TaskAttentionBank(nn.Module):
 
         # excluded keys already carry -inf in `scores`, so their mean prob
         # is ~0 and 'attn_prob'/'highest' avoid them by construction
-        mean_probs = jax.lax.stop_gradient(
-            jax.nn.softmax(scores, axis=-1).mean(axis=(0, 1, 2)))  # [T_aux]
+        if t_major:
+            mean_probs = jax.lax.stop_gradient(
+                jax.nn.softmax(scores, axis=0).mean(axis=(1, 2, 3)))
+        else:
+            mean_probs = jax.lax.stop_gradient(
+                jax.nn.softmax(scores, axis=-1).mean(axis=(0, 1, 2)))  # [T_aux]
 
         if self.attn_mask_type == "attn_prob":
             idx = jax.random.categorical(k_pick, jnp.log(mean_probs + 1e-20))
@@ -316,8 +366,7 @@ class TaskAttentionBank(nn.Module):
         else:
             raise ValueError(f"Invalid attn_mask_type: {self.attn_mask_type}")
 
-        bias = jnp.where(do_mask, mask * NEG_INF, 0.0)
-        return bias[None, None, None, :]
+        return jnp.where(do_mask, mask * NEG_INF, 0.0)  # flat [T_aux]
 
 
 class BasicTransformerBlock(nn.Module):

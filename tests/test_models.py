@@ -244,3 +244,47 @@ def test_random_mask_strategy_never_targets_excluded_key():
         # attn_mask_ratio=1.0: some REAL key is always masked, so the
         # output must never collapse to the unmasked forward
         assert np.abs(out - unmasked).max() > 1e-7, seed
+
+
+@pytest.mark.parametrize("use_kv_path", [True, False])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_taskattn_bmr_matches_einsum(monkeypatch, use_kv_path, dtype):
+    """STABLEMTL_TASKATTN_BMR reassociates the task-axis attention einsums
+    as broadcast-mul-reduce (VPU form, no MXU tile padding). Same math:
+    outputs must agree with the dot_general form to f32-association
+    tolerance on both the task_kv (shared tables + key bias) and the
+    task_feats (gathered aux subset) paths."""
+    from stablemtl_tpu.models.transformer import TaskAttentionBank
+
+    T, B, N, C = 5, 2, 8, 16
+    dt = jnp.float32 if dtype == "float32" else jnp.bfloat16
+    bank = TaskAttentionBank(dim=C, n_tasks=T, n_attns=4, dtype=dt)
+    rng = np.random.RandomState(7)
+    hid = jnp.asarray(rng.standard_normal((B, N, C)), dt)
+    if use_kv_path:
+        kv = (jnp.asarray(rng.standard_normal((T, B, N, C)), dt),
+              jnp.asarray(rng.standard_normal((T, B, N, C)), dt))
+        feats, aux, bias = None, None, jnp.where(
+            jnp.arange(T) == 1, -1e9, 0.0).astype(jnp.float32)
+    else:
+        feats = jnp.asarray(rng.standard_normal((T - 1, B, N, C)), dt)
+        aux = jnp.asarray([0, 2, 3, 4])
+        kv, bias = None, None
+    params = bank.init(jax.random.PRNGKey(0), hid, feats, jnp.asarray(1),
+                       aux, task_kv=kv, task_key_bias=bias)
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.standard_normal(p.shape) * 0.05
+                              ).astype(p.dtype), params)
+
+    def run():
+        # transformer.py reads the flag at TRACE time inside __call__
+        return np.asarray(bank.apply(
+            params, hid, feats, jnp.asarray(1), aux, task_kv=kv,
+            task_key_bias=bias).astype(jnp.float32))
+
+    monkeypatch.delenv("STABLEMTL_TASKATTN_BMR", raising=False)
+    ref = run()
+    monkeypatch.setenv("STABLEMTL_TASKATTN_BMR", "1")
+    got = run()
+    atol = 1e-5 if dtype == "float32" else 5e-2
+    np.testing.assert_allclose(got, ref, atol=atol, rtol=atol)

@@ -214,9 +214,132 @@ def bench_qmlp():
         report(name, per, flops=flops)
 
 
+# ---- task-attn score/softmax/PV chain attribution --------------------------
+
+def bench_taskchain(stage: int = 0):
+    """The task-attention EINSUM CHAIN (scores -> bias -> softmax -> P@V) at
+    the production layout: q batched per stream under vmap, K/V tables
+    shared UNBATCHED (transformer.py:233-261). The Q-MLP measures near-peak
+    in isolation (qmlp_full, 169 TFLOPS) while the whole bank sits at ~57,
+    so the residual must live here: the einsums contract d=C/4 per head
+    with only T=7 outputs — MXU tiles pad 7x80x7 to 128x128x128 (~60x
+    waste) if XLA picks the MXU, or it pays broadcast re-reads on the VPU.
+    Variants probe the fixes available WITHOUT a custom kernel:
+
+    - prod:   exact production einsum pair.
+    - bmr:    broadcast-mul-reduce (forces VPU loop fusion, no MXU padding).
+    - half:   production scores einsum + bmr P@V (mixed).
+    - f32all: prod with f32 probs kept through P@V (cast-cost check).
+    """
+    S, B, N, C, h, T = 7, 4, 4096 // (4 ** stage), 320 * (2 ** stage), 4, 7
+    d = C // h
+    dt = jnp.bfloat16
+
+    def dev(shape, k, dtype=dt):
+        return jax.jit(lambda: jax.random.normal(
+            jax.random.PRNGKey(k), shape, dtype))()
+
+    q = dev((S, B, N, h, d), 0)          # per-stream, post-Q-MLP, head-split
+    kt = dev((T, B, N, h, d), 1)         # shared tables (unbatched)
+    vt = dev((T, B, N, h, d), 2)
+    # per-stream key bias: -inf on the main task (task_kv sharing layout)
+    bias = jnp.where(jnp.arange(T)[None, :] == jnp.arange(S)[:, None],
+                     -1e9, 0.0).astype(jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+
+    def chain_prod(q, kt, vt):
+        def one(qs, bs):
+            s = jnp.einsum("bnhd,tbnhd->bnht", qs, kt,
+                           preferred_element_type=jnp.float32) * scale
+            p = jax.nn.softmax(s + bs, axis=-1).astype(dt)
+            return jnp.einsum("bnht,tbnhd->bnhd", p, vt,
+                              preferred_element_type=jnp.float32).astype(dt)
+        return jax.vmap(one)(q, bias)
+
+    def chain_bmr(q, kt, vt):
+        def one(qs, bs):
+            # [T,B,N,h] f32 scores via fused mul+reduce (no MXU padding)
+            s = (qs[None].astype(jnp.float32)
+                 * kt.astype(jnp.float32)).sum(-1) * scale
+            s = s + bs[:, None, None, None]
+            p = jax.nn.softmax(s, axis=0).astype(dt)
+            return (p[..., None] * vt).sum(0)
+        return jax.vmap(one)(q, bias)
+
+    def chain_half(q, kt, vt):
+        def one(qs, bs):
+            s = jnp.einsum("bnhd,tbnhd->bnht", qs, kt,
+                           preferred_element_type=jnp.float32) * scale
+            p = jax.nn.softmax(s + bs, axis=-1).astype(dt)
+            pt = jnp.moveaxis(p, -1, 0)              # [T,B,N,h]
+            return (pt[..., None] * vt).sum(0)
+        return jax.vmap(one)(q, bias)
+
+    def chain_wired(q, kt, vt):
+        # the module-wiring candidate: bmr for BOTH einsums, but scores
+        # kept in the production [B,N,h,T] orientation (via cheap
+        # small-tensor transposes) so the stochastic-mask machinery in
+        # transformer.py stays untouched
+        def one(qs, bs):
+            st = (qs[None].astype(jnp.float32)
+                  * kt.astype(jnp.float32)).sum(-1) * scale   # [T,B,N,h]
+            st = st + bs[:, None, None, None]
+            s = jnp.moveaxis(st, 0, -1)                       # [B,N,h,T]
+            p = jax.nn.softmax(s, axis=-1)
+            pt = jnp.moveaxis(p, -1, 0)                       # [T,B,N,h] f32
+            return (pt[..., None]
+                    * vt.astype(jnp.float32)).sum(0).astype(dt)
+        return jax.vmap(one)(q, bias)
+
+    def chain_f32all(q, kt, vt):
+        def one(qs, bs):
+            s = jnp.einsum("bnhd,tbnhd->bnht", qs, kt,
+                           preferred_element_type=jnp.float32) * scale
+            p = jax.nn.softmax(s + bs, axis=-1)
+            return jnp.einsum("bnht,tbnhd->bnhd", p,
+                              vt.astype(jnp.float32)).astype(dt)
+        return jax.vmap(one)(q, bias)
+
+    def chain_of(f):
+        @jax.jit
+        def chain(n, q, kt, vt):
+            def body(_, carry):
+                q, acc = carry
+                y = f(q, kt, vt)
+                sm = y.mean().astype(jnp.float32)
+                return q + (sm * 1e-6).astype(q.dtype), acc + sm
+
+            _, acc = jax.lax.fori_loop(0, n, body, (q, jnp.float32(0)))
+            return acc
+
+        return chain
+
+    # useful FLOPs only (what the 'achieved' number should credit):
+    # scores 2*S*T*B*N*C + PV the same
+    fl = 4.0 * S * T * B * N * C
+    for name, f in [("taskchain_prod", chain_prod),
+                    ("taskchain_bmr", chain_bmr),
+                    ("taskchain_wired", chain_wired),
+                    ("taskchain_half", chain_half),
+                    ("taskchain_f32all", chain_f32all)]:
+        ch = chain_of(f)
+        per = timed_slope(lambda n: ch(n, q, kt, vt))
+        report(f"{name}_s{stage}", per, flops=fl)
+
+    # numeric guard: bmr == prod (same math, different association)
+    diff = jax.jit(lambda q, kt, vt: jnp.max(jnp.abs(
+        chain_prod(q, kt, vt).astype(jnp.float32)
+        - chain_bmr(q, kt, vt).astype(jnp.float32))))(q, kt, vt)
+    print(json.dumps({"component": f"taskchain_bmr_vs_prod_s{stage}",
+                      "max_abs_diff": float(diff)}), flush=True)
+
+
 if __name__ == "__main__":
     parts = sys.argv[1:] or ["exp2", "qmlp"]
     if "exp2" in parts:
         bench_exp2()
     if "qmlp" in parts:
         bench_qmlp()
+    if "taskchain" in parts:
+        bench_taskchain(0)
+        bench_taskchain(1)
