@@ -334,6 +334,76 @@ def bench_taskchain(stage: int = 0):
                       "max_abs_diff": float(diff)}), flush=True)
 
 
+# ---- text cross-attention: L=4 keys, same tiny-key pathology --------------
+
+def bench_xattn(stage: int = 0):
+    """Text cross-attention core at production shapes: S queries against
+    L=4 text tokens (the 7-task embedding table rows are length-4). The
+    QK/PV dot_generals contract d=64 with only L=4 outputs — the same
+    MXU-tile padding the task-attn chain had. Variants:
+
+    - prod: jax.nn.dot_product_attention (the dispatch default at L<1024).
+    - einsum: the _xla_attention einsum pair.
+    - bmr: keys-major broadcast-mul-reduce (no MXU, no padding).
+    """
+    B, S, h, d = 28, 4096 // (4 ** stage), 5 * (2 ** stage), 64
+    L = 4
+    dt = jnp.bfloat16
+
+    def dev(shape, key):
+        return jax.jit(lambda: jax.random.normal(
+            jax.random.PRNGKey(key), shape, dt))()
+
+    q = dev((B, S, h, d), 0)
+    k = dev((B, L, h, d), 1)
+    v = dev((B, L, h, d), 2)
+    scale = 1.0 / np.sqrt(d)
+
+    def core_prod(q, k, v):
+        return jax.nn.dot_product_attention(q, k, v)
+
+    def core_einsum(q, k, v):
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1).astype(dt)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                          preferred_element_type=jnp.float32).astype(dt)
+
+    def core_bmr(q, k, v):
+        # [B, L, S, h] f32 scores; softmax over the leading key axis
+        s = (q[:, None].astype(jnp.float32)
+             * k[:, :, None].astype(jnp.float32)).sum(-1) * scale
+        p = jax.nn.softmax(s, axis=1).astype(dt)
+        return (p[..., None] * v[:, :, None]).sum(1)
+
+    def chain_of(f):
+        @jax.jit
+        def chain(n, q, k, v):
+            def body(_, carry):
+                q, acc = carry
+                y = f(q, k, v)
+                sm = y.mean().astype(jnp.float32)
+                return q + (sm * 1e-6).astype(q.dtype), acc + sm
+
+            _, acc = jax.lax.fori_loop(0, n, body, (q, jnp.float32(0)))
+            return acc
+
+        return chain
+
+    fl = 4.0 * B * S * L * h * d
+    for name, f in [("xattn_prod", core_prod), ("xattn_einsum", core_einsum),
+                    ("xattn_bmr", core_bmr)]:
+        ch = chain_of(f)
+        per = timed_slope(lambda n: ch(n, q, k, v))
+        report(f"{name}_s{stage}", per, flops=fl)
+
+    diff = jax.jit(lambda q, k, v: jnp.max(jnp.abs(
+        core_einsum(q, k, v).astype(jnp.float32)
+        - core_bmr(q, k, v).astype(jnp.float32))))(q, k, v)
+    print(json.dumps({"component": f"xattn_bmr_vs_einsum_s{stage}",
+                      "max_abs_diff": float(diff)}), flush=True)
+
+
 if __name__ == "__main__":
     parts = sys.argv[1:] or ["exp2", "qmlp"]
     if "exp2" in parts:
@@ -343,3 +413,6 @@ if __name__ == "__main__":
     if "taskchain" in parts:
         bench_taskchain(0)
         bench_taskchain(1)
+    if "xattn" in parts:
+        bench_xattn(0)
+        bench_xattn(1)
