@@ -21,6 +21,7 @@ given or the sequence has no block-aligned tiling.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -128,8 +129,17 @@ def _mxu_lsum() -> bool:
     return env_flag("STABLEMTL_FLASH_MXU_LSUM")
 
 
-def _pick_block(s: int, max_block: int = MAX_BLOCK) -> int:
-    """Largest divisor of s that is <= max_block and a multiple of 8."""
+def _pick_block(s: int, max_block: int = MAX_BLOCK,
+                env: str | None = None) -> int:
+    """Largest divisor of s that is <= max_block and a multiple of 8.
+
+    env names a trace-time override (STABLEMTL_FLASH_BLOCK_Q/_BLOCK_K)
+    for on-chip block sweeps (tools/bench_flash_variants.py); the value
+    still must divide s or it falls back to the auto pick."""
+    if env:
+        raw = os.environ.get(env, "").strip()
+        if raw.isdigit() and int(raw) > 0 and s % int(raw) == 0:
+            return int(raw)
     best = 0
     for b in range(8, min(max_block, s) + 1, 8):
         if s % b == 0:
@@ -207,10 +217,19 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
     else:
         o = acc / l[:, None]
     o_ref[0] = o.astype(o_ref.dtype)
-    # base-2 logsumexp per query row (softmax denominators for the
-    # backward); stored lane-replicated [Bq, LANE] for TPU block tiling
-    lse = m + jnp.log2(l)
-    lse_ref[0] = jnp.broadcast_to(lse[:, None], (bq, LANE))
+    if lse_ref is not None:
+        # base-2 logsumexp per query row (softmax denominators for the
+        # backward); stored lane-replicated [Bq, LANE] for TPU block tiling
+        lse = m + jnp.log2(l)
+        lse_ref[0] = jnp.broadcast_to(lse[:, None], (bq, LANE))
+
+
+def _fa_kernel_nolse(q_ref, k_ref, v_ref, o_ref, **kw):
+    """Forward without the logsumexp output: the inference path (custom_vjp
+    primal, never differentiated) doesn't need the backward's residual, so
+    skip its log2 and — more importantly — its lane-replicated [Sq, 128]
+    f32 HBM write (2x the size of the output itself at d=64)."""
+    _fa_kernel(q_ref, k_ref, v_ref, o_ref, None, **kw)
 
 
 def _fa_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
@@ -296,15 +315,19 @@ def _unfold(x, b, h):
     return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
-def _flash_forward(q, k, v):
+def _flash_forward(q, k, v, want_lse: bool = True):
     """q,k,v: [B, S, H, D] (kv seq may differ from q seq).
 
     Returns (out [B,Sq,H,D], lse [B*H, Sq]) — lse saved for the backward.
+    want_lse=False (the inference/primal path) runs a kernel without the
+    lse output: skips its log2 and the lane-replicated [Sq, 128] f32 HBM
+    write, which at d=64 is 2x the bytes of the output itself; returns
+    (out, None).
     """
     b, sq, h, d = q.shape
     sk = k.shape[1]
-    block_q = _pick_block(sq)
-    block_k = _pick_block(sk)
+    block_q = _pick_block(sq, env="STABLEMTL_FLASH_BLOCK_Q")
+    block_k = _pick_block(sk, env="STABLEMTL_FLASH_BLOCK_K")
 
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     scale = float(d) ** -0.5
@@ -315,12 +338,20 @@ def _flash_forward(q, k, v):
         vf = jnp.concatenate(
             [vf, jnp.ones((b * h, sk, 1), vf.dtype)], axis=-1)
     dv = d + 1 if mxu_lsum else d
-    kernel = functools.partial(_fa_kernel, block_k=block_k, scale=scale,
-                               no_max=_fast_softmax(), mxu_lsum=mxu_lsum,
-                               poly_deg=_poly_exp())
+    kernel = functools.partial(
+        _fa_kernel if want_lse else _fa_kernel_nolse,
+        block_k=block_k, scale=scale,
+        no_max=_fast_softmax(), mxu_lsum=mxu_lsum, poly_deg=_poly_exp())
     grid = (b * h, sq // block_q)
 
-    out, lse = pl.pallas_call(
+    o_spec = pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    o_shape = jax.ShapeDtypeStruct((b * h, sq, d), q.dtype)
+    lse_spec = pl.BlockSpec((1, block_q, LANE), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    lse_shape = jax.ShapeDtypeStruct((b * h, sq, LANE), jnp.float32)
+
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -331,22 +362,15 @@ def _flash_forward(q, k, v):
             pl.BlockSpec((1, sk, dv), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, LANE), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, sq, LANE), jnp.float32),
-        ),
+        out_specs=(o_spec, lse_spec) if want_lse else o_spec,
+        out_shape=(o_shape, lse_shape) if want_lse else o_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq * sk * d,
             bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
             transcendentals=b * h * sq * sk,
         ),
     )(qf, kf, vf)
+    out, lse = res if want_lse else (res, None)
     return _unfold(out, b, h), lse
 
 
@@ -354,8 +378,8 @@ def _flash_backward(q, k, v, out, lse, g):
     """Pallas flash backward: returns (dq, dk, dv), all [B,S,H,D]."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
-    block_q = _pick_block(sq)
-    block_k = _pick_block(sk)
+    block_q = _pick_block(sq, env="STABLEMTL_FLASH_BLOCK_Q")
+    block_k = _pick_block(sk, env="STABLEMTL_FLASH_BLOCK_K")
     scale = float(d) ** -0.5
 
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
@@ -409,7 +433,9 @@ def _xla_reference(q, k, v):
 
 @jax.custom_vjp
 def _flash(q, k, v):
-    out, _ = _flash_forward(q, k, v)
+    # primal path (inference / no differentiation): custom_vjp only calls
+    # _flash_fwd under AD, so this variant can skip the lse output
+    out, _ = _flash_forward(q, k, v, want_lse=False)
     return out
 
 
@@ -577,7 +603,7 @@ VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 
 def _vmem_bytes(sq: int, sk: int, d: int, itemsize: int) -> int:
-    block_q = _pick_block(sq)
+    block_q = _pick_block(sq, env="STABLEMTL_FLASH_BLOCK_Q")
     if _mxu_lsum() and d < 128:
         # ones column appended to V: account V (and the accumulator) at
         # the lane-padded d+1 width the kernel actually tiles
@@ -586,7 +612,7 @@ def _vmem_bytes(sq: int, sk: int, d: int, itemsize: int) -> int:
         dv = d
     kv = sk * (d + dv) * itemsize * 2       # K + V, double-buffered
     q_acc = block_q * d * itemsize + block_q * dv * 4  # q block + f32 acc
-    p = block_q * _pick_block(sk) * 4       # score block
+    p = block_q * _pick_block(sk, env="STABLEMTL_FLASH_BLOCK_K") * 4
     return kv + 2 * q_acc + p
 
 

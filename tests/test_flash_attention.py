@@ -399,3 +399,56 @@ def test_fast_softmax_moderate_logits_exact(monkeypatch):
         out = flash_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-5, rtol=5e-5)
+
+
+def test_nolse_primal_matches_lse_path(monkeypatch):
+    """The inference primal (want_lse=False, no lse output/HBM write) must
+    produce bit-identical o to the training-path kernel, in f32 and bf16,
+    with fast_softmax both off and on."""
+    from stablemtl_tpu.ops.flash_attention import _flash, _flash_forward
+
+    rng = np.random.RandomState(5)
+    for fast in ("0", "1"):
+        monkeypatch.setenv("STABLEMTL_FLASH_FAST_SOFTMAX", fast)
+        for dt in (jnp.float32, jnp.bfloat16):
+            q = jnp.asarray(rng.randn(1, 256, 2, 64), dt)
+            k = jnp.asarray(rng.randn(1, 256, 2, 64), dt)
+            v = jnp.asarray(rng.randn(1, 256, 2, 64), dt)
+            with pltpu.force_tpu_interpret_mode():
+                out_primal = _flash(q, k, v)          # want_lse=False
+                out_train, lse = _flash_forward(q, k, v)
+            assert lse is not None
+            np.testing.assert_array_equal(np.asarray(out_primal),
+                                          np.asarray(out_train))
+
+
+def test_block_env_overrides(monkeypatch):
+    """STABLEMTL_FLASH_BLOCK_Q/_BLOCK_K reshape the kernel grid without
+    changing results (fwd AND grad); non-divisor values fall back to the
+    auto pick."""
+    from stablemtl_tpu.ops.flash_attention import _flash, _pick_block
+
+    monkeypatch.setenv("STABLEMTL_FLASH_BLOCK_Q", "64")
+    monkeypatch.setenv("STABLEMTL_FLASH_BLOCK_K", "128")
+    assert _pick_block(256, env="STABLEMTL_FLASH_BLOCK_Q") == 64
+    assert _pick_block(256, env="STABLEMTL_FLASH_BLOCK_K") == 128
+    # non-divisor falls back to the auto pick
+    monkeypatch.setenv("STABLEMTL_FLASH_BLOCK_K", "96")
+    assert _pick_block(256, env="STABLEMTL_FLASH_BLOCK_K") == 256
+
+    rng = np.random.RandomState(6)
+    q = jnp.asarray(rng.randn(1, 256, 2, 64), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 256, 2, 64), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 256, 2, 64), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    gref = jax.grad(lambda q: (_xla_attention(q, k, v) ** 2)
+                    .astype(jnp.float32).sum())(q)
+    monkeypatch.setenv("STABLEMTL_FLASH_BLOCK_K", "128")
+    with pltpu.force_tpu_interpret_mode():
+        out = _flash(q, k, v)
+        g = jax.grad(lambda q: (_flash(q, k, v) ** 2)
+                     .astype(jnp.float32).sum())(q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref),
+                               atol=2e-4, rtol=2e-4)

@@ -114,5 +114,45 @@ def main():
         print(json.dumps(row), flush=True)
 
 
+def sweep_blocks():
+    """Block-size sweep (STABLEMTL_FLASH_BLOCK_Q/_BLOCK_K) for the resident
+    kernel at the S=4096 H=5 production shape, fast_softmax on (the
+    fast_math default). Auto pick is 512/512 (MAX_BLOCK)."""
+    from stablemtl_tpu.ops.flash_attention import _flash
+
+    B = int(os.environ.get("STABLEMTL_BENCH_BATCH", "4")) * 7
+    S, H = 4096, 5
+    os.environ["STABLEMTL_FLASH_FAST_SOFTMAX"] = "1"
+    r = np.random.RandomState(0)
+    qkv = [jnp.asarray(r.standard_normal((B, S, H, 64)), jnp.bfloat16)
+           for _ in range(3)]
+    for bq in (256, 512, 1024, 2048):
+        for bk in (256, 512, 1024, 2048, 4096):
+            os.environ["STABLEMTL_FLASH_BLOCK_Q"] = str(bq)
+            os.environ["STABLEMTL_FLASH_BLOCK_K"] = str(bk)
+
+            @jax.jit
+            def chain_fwd(n, q, k, v):
+                def body(_, carry):
+                    x, acc = carry
+                    s = _flash(x, k, v).mean().astype(jnp.float32)
+                    return x + (s * 1e-6).astype(x.dtype), acc + s
+
+                _, acc = jax.lax.fori_loop(0, n, body, (q, jnp.float32(0)))
+                return acc
+
+            try:
+                per = timed_slope(lambda n: chain_fwd(n, *qkv))
+                print(json.dumps({"block_q": bq, "block_k": bk,
+                                  "fwd_ms": round(per * 1000, 3)}),
+                      flush=True)
+            except Exception as e:  # VMEM overflow at the big combos
+                print(json.dumps({"block_q": bq, "block_k": bk,
+                                  "error": type(e).__name__}), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "sweep" in sys.argv[1:]:
+        sweep_blocks()
+    else:
+        main()
