@@ -186,6 +186,30 @@ class Upsample(nn.Module):
                             name="conv")(x, output_size)
 
 
+class _GEGLUProj(nn.Module):
+    """Owns the projection params under the same tree path / init as the
+    nn.Dense it replaces (net_0/proj/{kernel,bias}), so checkpoints and
+    the TP PartitionSpec policy are unchanged; the compute routes through
+    ops.geglu.geglu_proj (plain XLA math, or the fused Pallas kernel when
+    STABLEMTL_FUSED_GEGLU is on and the shape supports it)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    fast_gelu: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.geglu import geglu_proj
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        return geglu_proj(x, kernel, bias, fast_gelu=self.fast_gelu)
+
+
 class GEGLU(nn.Module):
     inner_dim: int
     dtype: jnp.dtype = jnp.float32
@@ -196,9 +220,8 @@ class GEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate, approximate=self.fast_gelu)
+        return _GEGLUProj(self.inner_dim * 2, dtype=self.dtype,
+                          fast_gelu=self.fast_gelu, name="proj")(x)
 
 
 class FeedForward(nn.Module):
