@@ -404,6 +404,60 @@ def bench_xattn(stage: int = 0):
                       "max_abs_diff": float(diff)}), flush=True)
 
 
+# ---- GEGLU feed-forward: fused Pallas epilogue vs plain XLA ----------------
+
+def bench_geglu(stage: int = 0):
+    """FeedForward GEGLU projection at the production UNet-stream shapes
+    (28 streams = 7 tasks x batch 4, bf16, tanh gelu = fast_math tier).
+    A/B the plain XLA formulation (materializes [R, 2F] in HBM) against
+    ops/geglu.py's fused Pallas kernel (gated-gelu epilogue in VMEM).
+    """
+    from stablemtl_tpu.ops.geglu import geglu_proj
+
+    B = 28
+    N = 4096 // (4 ** stage)
+    C = 320 * (2 ** stage)
+    F = 4 * C
+    dt = jnp.bfloat16
+
+    def dev(shape, key):
+        return jax.jit(lambda: jax.random.normal(
+            jax.random.PRNGKey(key), shape, dt) * 0.05)()
+
+    x = dev((B, N, C), 0)
+    kernel = dev((C, 2 * F), 1)
+    bias = dev((2 * F,), 2)
+
+    def chain_of(use_fused):
+        @jax.jit
+        def chain(n, x, kernel, bias):
+            def body(_, carry):
+                x, acc = carry
+                y = geglu_proj(x, kernel, bias, fast_gelu=True,
+                               use_fused=use_fused)
+                sm = y.mean().astype(jnp.float32)
+                return x + (sm * 1e-6).astype(x.dtype), acc + sm
+
+            _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
+            return acc
+
+        return chain
+
+    fl = 4.0 * B * N * C * F          # both half-projections
+    for name, fused in [("geglu_plain", False), ("geglu_fused", True)]:
+        ch = chain_of(fused)
+        per = timed_slope(lambda n: ch(n, x, kernel, bias))
+        report(f"{name}_s{stage}", per, flops=fl)
+
+    diff = jax.jit(lambda x, kernel, bias: jnp.max(jnp.abs(
+        geglu_proj(x, kernel, bias, fast_gelu=True,
+                   use_fused=True).astype(jnp.float32)
+        - geglu_proj(x, kernel, bias, fast_gelu=True,
+                     use_fused=False).astype(jnp.float32))))(x, kernel, bias)
+    print(json.dumps({"component": f"geglu_fused_vs_plain_s{stage}",
+                      "max_abs_diff": float(diff)}), flush=True)
+
+
 if __name__ == "__main__":
     parts = sys.argv[1:] or ["exp2", "qmlp"]
     if "exp2" in parts:
@@ -416,3 +470,10 @@ if __name__ == "__main__":
     if "xattn" in parts:
         bench_xattn(0)
         bench_xattn(1)
+    if "geglu" in parts:
+        bench_geglu(0)
+        bench_geglu(1)
+        bench_geglu(2)
+    for s in (0, 1, 2):          # single-stage runs (slow-tunnel friendly)
+        if f"geglu{s}" in parts:
+            bench_geglu(s)
