@@ -184,10 +184,18 @@ def geglu_proj(x, kernel, bias, fast_gelu: bool = False,
     blocks = None
     if c % 8 == 0 and rows % 8 == 0 and f % 128 == 0:
         blocks = _pick_blocks(rows, c, f, jnp.dtype(x.dtype).itemsize)
+    if use_fused and blocks is None:
+        # Explicitly forced fused path on an unsupported shape: fail loudly
+        # so an A/B can never silently time plain-vs-plain (ADVICE r4).
+        raise ValueError(
+            f"geglu_proj(use_fused=True): no Pallas block fit for shape "
+            f"rows={rows} C={c} F={f} (need rows%8==0, C%8==0, F%128==0 "
+            f"and a VMEM-budget block)")
     if use_fused is None:
         use_fused = (_fused_geglu_enabled()
-                     and jax.default_backend() == "tpu")
-    if not (use_fused and blocks):
+                     and jax.default_backend() == "tpu"
+                     and blocks is not None)
+    if not use_fused:
         return _plain_geglu(x, wh, wg, bh, bg, fast_gelu=fast_gelu)
 
     x2 = x.reshape(rows, c)

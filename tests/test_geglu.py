@@ -98,12 +98,20 @@ def test_fused_under_vmap():
                                atol=1e-5, rtol=1e-5)
 
 
-def test_unsupported_shape_falls_back():
-    """F not a multiple of 128 -> plain path even with use_fused=True."""
+def test_unsupported_shape_forced_fused_raises():
+    """F not a multiple of 128 + use_fused=True -> loud ValueError, so an
+    A/B bench can never silently time plain-vs-plain (ADVICE r4)."""
     rng = np.random.RandomState(4)
     x, kernel, bias = _args(rng, 16, 24, 24, jnp.float32)
-    out = geglu_proj(x, kernel, bias, use_fused=True)   # no interpret ctx:
-    # would crash if it tried to build a kernel on CPU
+    with pytest.raises(ValueError, match="no Pallas block fit"):
+        geglu_proj(x, kernel, bias, use_fused=True)
+
+
+def test_unsupported_shape_auto_falls_back():
+    """F not a multiple of 128 under auto selection -> plain path."""
+    rng = np.random.RandomState(4)
+    x, kernel, bias = _args(rng, 16, 24, 24, jnp.float32)
+    out = geglu_proj(x, kernel, bias, use_fused=None)
     ref = _plain_geglu(x, kernel[:, :24], kernel[:, 24:],
                        bias[:24], bias[24:], fast_gelu=False)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -470,10 +470,10 @@ if __name__ == "__main__":
     if "xattn" in parts:
         bench_xattn(0)
         bench_xattn(1)
+    geglu_stages = []            # dedupe "geglu" + "gegluN" (ADVICE r4)
     if "geglu" in parts:
-        bench_geglu(0)
-        bench_geglu(1)
-        bench_geglu(2)
-    for s in (0, 1, 2):          # single-stage runs (slow-tunnel friendly)
-        if f"geglu{s}" in parts:
-            bench_geglu(s)
+        geglu_stages = [0, 1, 2]
+    else:
+        geglu_stages = [s for s in (0, 1, 2) if f"geglu{s}" in parts]
+    for s in geglu_stages:       # single-stage runs (slow-tunnel friendly)
+        bench_geglu(s)
