@@ -19,8 +19,14 @@ differentiation the forward falls back to the plain XLA formulation via
 training step keeps XLA's own scheduling (with remat on, training
 recomputes activations anyway).
 
-Trace-time switch: STABLEMTL_FUSED_GEGLU (default off until the on-chip
-A/B promotes it; tools/bench_microops.py geglu measures it).
+Trace-time switch: STABLEMTL_FUSED_GEGLU — **measured dead end, off at
+every tier** (on-chip A/B 2026-08-20, BENCH_NOTES r5): the plain XLA
+path wins at all three production stages (s0 1.48 vs 1.78 ms, s1 0.86
+vs 1.21, s2 1.07 vs 1.31). XLA never materializes the [R, 2F]
+intermediate this docstring's HBM argument assumed — it fuses the
+gated-gelu epilogue into the split projection itself (the s1 plain leg
+sustains ~218 nominal TFLOPS, above bf16 peak, impossible with the
+round-trip). Kept (with tests) as the recorded experiment.
 """
 
 from __future__ import annotations
