@@ -27,6 +27,19 @@ from .train_state import TrainState
 
 LATEST = "latest"
 
+_SYNC_COUNT = [0]
+
+
+def _sync_processes(tag: str) -> None:
+    """Cross-process barrier (no-op single-process). Each call site tags a
+    unique barrier name — orbax requires distinct names per rendezvous."""
+    if jax.process_count() <= 1:
+        return
+    _SYNC_COUNT[0] += 1
+    from orbax.checkpoint import multihost as ocp_multihost
+
+    ocp_multihost.sync_global_processes(f"{tag}_{_SYNC_COUNT[0]}")
+
 
 class CheckpointManager:
     def __init__(self, ckpt_dir: str):
@@ -38,7 +51,14 @@ class CheckpointManager:
 
     def save(self, state: TrainState, meta: Optional[dict] = None,
              name: str = LATEST, overwrite: bool = True):
-        """Save trainable params + optimizer state + step, plus JSON meta."""
+        """Save trainable params + optimizer state + step, plus JSON meta.
+
+        Multi-process safe: the orbax save itself is collective (every
+        process writes its addressable shards to the shared directory);
+        the overwrite swap-dance renames and the meta write run on process
+        0 only, with a barrier so no process proceeds past a half-swapped
+        `latest` (reference analogue: accelerate's main-process-gated
+        save, train_stablemtl.py:206-209)."""
         path = os.path.join(self.ckpt_dir, name)
         payload = {"step": state.step, "params": state.params,
                    "opt_state": state.opt_state}
@@ -47,18 +67,21 @@ class CheckpointManager:
             tmp = path + ".tmp_swap"
             self._ckptr.save(tmp, payload)
             self._ckptr.wait_until_finished()
-            old = path + ".old"
-            os.rename(path, old)
-            os.rename(tmp, path)
-            import shutil
-            shutil.rmtree(old, ignore_errors=True)
+            if jax.process_index() == 0:
+                old = path + ".old"
+                os.rename(path, old)
+                os.rename(tmp, path)
+                import shutil
+                shutil.rmtree(old, ignore_errors=True)
+            _sync_processes("stablemtl_ckpt_swap")
         else:
             self._ckptr.save(path, payload)
             self._ckptr.wait_until_finished()
-        if meta is not None:
+        if meta is not None and jax.process_index() == 0:
             with open(os.path.join(self.ckpt_dir, f"{name}.meta.json"),
                       "w") as f:
                 json.dump(_jsonable(meta), f, indent=2)
+        _sync_processes("stablemtl_ckpt_done")
         return path
 
     def save_backup(self, state: TrainState, meta: Optional[dict] = None,

@@ -45,7 +45,7 @@ log = logging.getLogger(__name__)
 
 def model_configs(preset: str, multi_stream: bool, trainer_cfg,
                   dtype: str = "float32", remat: bool = False,
-                  fast_math: bool = False
+                  fast_math: bool = False, remat_transformer: str = "none"
                   ) -> Tuple[UNetConfig, UNetConfig, VAEConfig, int]:
     """(main unet cfg, child unet cfg, vae cfg, text_dim)."""
     t = trainer_cfg or {}
@@ -57,6 +57,7 @@ def model_configs(preset: str, multi_stream: bool, trainer_cfg,
         attn_mask_type=str(get("attn_mask_type", "attn_prob")),
         task_attn_layers=str(get("apply_task_attn_to_layers", "all")),
         dtype=dtype, remat=remat, fast_math=fast_math,
+        remat_transformer=remat_transformer,
     )
     fm = dict(dtype=dtype, fast_math=fast_math)
     if preset == "nano":
@@ -111,7 +112,8 @@ def build_pipeline(cfg: Config, seed: int = 0) -> StableMTLPipeline:
     fast_math = bool(model_cfg.get("fast_math", False))
     ucfg, ccfg, vcfg, text_dim = model_configs(
         preset, multi_stream, trainer_cfg, dtype=dtype, remat=remat,
-        fast_math=fast_math)
+        fast_math=fast_math,
+        remat_transformer=str(model_cfg.get("remat_transformer", "none")))
     # 'avg' second-frame mode has one 4ch rgb group -> conv_in 8 channels
     # (reference util/model.py:191-194 repeat=2)
     pipe_cfg_early = cfg.get("pipeline", {})

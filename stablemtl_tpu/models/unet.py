@@ -53,6 +53,13 @@ class UNetConfig:
     # compute
     dtype: str = "float32"
     remat: bool = False
+    # transformer-layer rematerialization policy for training memory:
+    # "none" (save all activations), "full" (recompute the whole layer in
+    # the backward), "dots" (jax.checkpoint_policies.dots_saveable — keep
+    # every matmul output, recompute only elementwise norms/gelus/softmax).
+    # Resnet remat stays governed by `remat` (full-block). Measured A/B:
+    # tools/bench_train512.py remat mode; BENCH_NOTES r5.
+    remat_transformer: str = "none"
     # bf16 fast path: norms emit compute dtype (statistics stay f32) and
     # gelu uses the tanh approximation (error < bf16 rounding). Off by
     # default — parity tests and f32 training are bit-identical to the
@@ -176,10 +183,27 @@ class UNet2DConditionModel(nn.Module):
                     feats = task_feats[attn_layer]
                 if task_kv is not None:
                     kv = task_kv[attn_layer]
-            h, tap_feat = tf(h, encoder_hidden_states, feats, main_idx,
-                             aux_idx, tap=tap, train=train, task_kv=kv,
-                             task_key_bias=task_key_bias,
-                             front_state=front_state)
+            if cfg.remat_transformer == "none":
+                h, tap_feat = tf(h, encoder_hidden_states, feats, main_idx,
+                                 aux_idx, tap=tap, train=train, task_kv=kv,
+                                 task_key_bias=task_key_bias,
+                                 front_state=front_state)
+            else:
+                # remat the layer body; tap/train are static via closure so
+                # the lifted transform sees only array (pytree) arguments.
+                # "dots": keep matmul outputs, recompute the elementwise
+                # chains; "full": recompute the whole layer in the backward.
+                policy = (jax.checkpoint_policies.dots_saveable
+                          if cfg.remat_transformer == "dots" else None)
+
+                def tf_body(mdl, h, ctx, feats, kv, key_bias, fs):
+                    return mdl(h, ctx, feats, main_idx, aux_idx, tap=tap,
+                               train=train, task_kv=kv, task_key_bias=key_bias,
+                               front_state=fs)
+
+                h, tap_feat = nn.remat(tf_body, policy=policy)(
+                    tf, h, encoder_hidden_states, feats, kv,
+                    task_key_bias, front_state)
             taps.append(tap_feat)
             attn_layer += 1
             return h

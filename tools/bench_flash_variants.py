@@ -116,43 +116,166 @@ def main():
 
 def sweep_blocks():
     """Block-size sweep (STABLEMTL_FLASH_BLOCK_Q/_BLOCK_K) for the resident
-    kernel at the S=4096 H=5 production shape, fast_softmax on (the
+    kernel at the production self-attention shapes, fast_softmax on (the
     fast_math default). Auto pick is 512/512 (MAX_BLOCK)."""
     from stablemtl_tpu.ops.flash_attention import _flash
 
     B = int(os.environ.get("STABLEMTL_BENCH_BATCH", "4")) * 7
-    S, H = 4096, 5
     os.environ["STABLEMTL_FLASH_FAST_SOFTMAX"] = "1"
     r = np.random.RandomState(0)
-    qkv = [jnp.asarray(r.standard_normal((B, S, H, 64)), jnp.bfloat16)
-           for _ in range(3)]
-    for bq in (256, 512, 1024, 2048):
-        for bk in (256, 512, 1024, 2048, 4096):
-            os.environ["STABLEMTL_FLASH_BLOCK_Q"] = str(bq)
-            os.environ["STABLEMTL_FLASH_BLOCK_K"] = str(bk)
+    for S, H in ((4096, 5), (1024, 10)):
+        qkv = [jnp.asarray(r.standard_normal((B, S, H, 64)), jnp.bfloat16)
+               for _ in range(3)]
+        for bq in (256, 512, 1024, 2048):
+            for bk in (256, 512, 1024, 2048, 4096):
+                if bq > S or bk > S:
+                    continue
+                os.environ["STABLEMTL_FLASH_BLOCK_Q"] = str(bq)
+                os.environ["STABLEMTL_FLASH_BLOCK_K"] = str(bk)
 
-            @jax.jit
-            def chain_fwd(n, q, k, v):
-                def body(_, carry):
-                    x, acc = carry
-                    s = _flash(x, k, v).mean().astype(jnp.float32)
-                    return x + (s * 1e-6).astype(x.dtype), acc + s
+                @jax.jit
+                def chain_fwd(n, q, k, v):
+                    def body(_, carry):
+                        x, acc = carry
+                        s = _flash(x, k, v).mean().astype(jnp.float32)
+                        return x + (s * 1e-6).astype(x.dtype), acc + s
 
-                _, acc = jax.lax.fori_loop(0, n, body, (q, jnp.float32(0)))
-                return acc
+                    _, acc = jax.lax.fori_loop(0, n, body,
+                                               (q, jnp.float32(0)))
+                    return acc
 
-            try:
-                per = timed_slope(lambda n: chain_fwd(n, *qkv))
-                print(json.dumps({"block_q": bq, "block_k": bk,
-                                  "fwd_ms": round(per * 1000, 3)}),
-                      flush=True)
-            except Exception as e:  # VMEM overflow at the big combos
-                print(json.dumps({"block_q": bq, "block_k": bk,
-                                  "error": type(e).__name__}), flush=True)
+                try:
+                    per = timed_slope(lambda n: chain_fwd(n, *qkv))
+                    print(json.dumps({"seq": S, "block_q": bq, "block_k": bk,
+                                      "fwd_ms": round(per * 1000, 3)}),
+                          flush=True)
+                except Exception as e:  # VMEM overflow at the big combos
+                    print(json.dumps({"seq": S, "block_q": bq, "block_k": bk,
+                                      "error": type(e).__name__}), flush=True)
+    os.environ.pop("STABLEMTL_FLASH_BLOCK_Q", None)
+    os.environ.pop("STABLEMTL_FLASH_BLOCK_K", None)
+
+
+def _pack_pairs(qf, kf, vf):
+    """Head-pair packing: fold two independent (batch*head) attention
+    problems of head_dim 64 into ONE d=128 problem so the MXU contraction
+    (q.kT) and output-lane (P@V) tiles are full instead of half-used.
+
+    qf/kf/vf: folded [BH, S, 64] with BH even. Returns (qp, kp, vp) shaped
+    [BH/2, 2S, 128] / [BH/2, S, 128] / [BH/2, S, 128]:
+      - kp/vp concat the pair's keys/values along lanes: [ka | kb].
+      - qp stacks block-diagonal row groups: rows 0..S-1 = [qa | 0],
+        rows S..2S-1 = [0 | qb]; a q row then dots ONLY its own head's
+        key columns (the zero half kills the other head's), so the
+        [2S, S] score matrix holds both heads' exact rows, softmax is
+        row-wise as usual, and P@V against [kb | vb]-style packed V gives
+        head a's output in lanes 0:64 of rows 0..S and head b's in lanes
+        64:128 of rows S..2S (the other lane half is discarded garbage).
+    The kernel's d^-0.5 scale sees d=128, so q is pre-scaled by sqrt(2)
+    to restore the true 64^-0.5.
+    """
+    qa, qb = qf[0::2], qf[1::2]
+    ka, kb = kf[0::2], kf[1::2]
+    va, vb = vf[0::2], vf[1::2]
+    s2 = jnp.asarray(2.0 ** 0.5, qf.dtype)
+    qp = jnp.concatenate([
+        jnp.pad(qa * s2, ((0, 0), (0, 0), (0, 64))),
+        jnp.pad(qb * s2, ((0, 0), (0, 0), (64, 0)))], axis=1)
+    kp = jnp.concatenate([ka, kb], axis=-1)
+    vp = jnp.concatenate([va, vb], axis=-1)
+    return qp, kp, vp
+
+
+def _unpack_pairs(op, S):
+    """Inverse of _pack_pairs on the kernel output: [BH/2, 2S, 128] ->
+    folded [BH, S, 64] (re-interleaving the pair axis)."""
+    oa = op[:, :S, :64]
+    ob = op[:, S:, 64:]
+    return jnp.stack([oa, ob], axis=1).reshape(-1, S, 64)
+
+
+def headpack():
+    """A/B the head-pair packed formulation against the production kernel
+    at the s0 self-attention shape (VERDICT r4 #2: the d=64 MXU ceiling).
+
+    Theory says break-even in MXU passes (the zero half of the packed q
+    wastes exactly the cycles the 64->128 contraction pad wastes) — this
+    measures whether halving the number of dispatched dots / grid cells
+    (70 cells of 2S rows vs 140 of S) buys anything after packing cost.
+    """
+    from stablemtl_tpu.ops.flash_attention import _flash
+
+    B = int(os.environ.get("STABLEMTL_BENCH_BATCH", "4")) * 7
+    S, H, d = 4096, 5, 64
+    os.environ["STABLEMTL_FLASH_FAST_SOFTMAX"] = "1"
+    r = np.random.RandomState(0)
+    q, k, v = [jnp.asarray(r.standard_normal((B, S, H, d)), jnp.bfloat16)
+               for _ in range(3)]
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(B * H, S, d)
+
+    # prepacked operands (kernel-only timing)
+    qp, kp, vp = jax.jit(lambda q, k, v: _pack_pairs(
+        fold(q), fold(k), fold(v)))(q, k, v)
+
+    @jax.jit
+    def chain_base(n, q, k, v):
+        def body(_, carry):
+            x, acc = carry
+            s = _flash(x, k, v).mean().astype(jnp.float32)
+            return x + (s * 1e-6).astype(x.dtype), acc + s
+
+        _, acc = jax.lax.fori_loop(0, n, body, (q, jnp.float32(0)))
+        return acc
+
+    @jax.jit
+    def chain_packed(n, qp, kp, vp):
+        def body(_, carry):
+            x, acc = carry
+            o = _flash(x[:, :, None, :], kp[:, :, None, :],
+                       vp[:, :, None, :])[:, :, 0, :]
+            s = (o[:, :S, :64].mean() + o[:, S:, 64:].mean()
+                 ).astype(jnp.float32)
+            return x + (s * 1e-6).astype(x.dtype), acc + s
+
+        _, acc = jax.lax.fori_loop(0, n, body, (qp, jnp.float32(0)))
+        return acc
+
+    @jax.jit
+    def chain_packed_e2e(n, q, k, v):
+        # packing + unpack inside the timed loop (what production pays)
+        def body(_, carry):
+            x, acc = carry
+            a, b, c = _pack_pairs(fold(x), fold(k), fold(v))
+            o = _flash(a[:, :, None, :], b[:, :, None, :],
+                       c[:, :, None, :])[:, :, 0, :]
+            s = _unpack_pairs(o, S).mean().astype(jnp.float32)
+            return x + (s * 1e-6).astype(x.dtype), acc + s
+
+        _, acc = jax.lax.fori_loop(0, n, body, (q, jnp.float32(0)))
+        return acc
+
+    # correctness: packed output == baseline (bf16, same kernel math)
+    diff = jax.jit(lambda q, k, v: jnp.max(jnp.abs(
+        _unpack_pairs(_flash(*(t[:, :, None, :] for t in _pack_pairs(
+            fold(q), fold(k), fold(v))))[:, :, 0, :], S).astype(jnp.float32)
+        - fold(_flash(q, k, v)).astype(jnp.float32))))(q, k, v)
+    print(json.dumps({"headpack_max_abs_diff": float(diff)}), flush=True)
+
+    for name, fn, args in (
+            ("base_fwd", chain_base, (q, k, v)),
+            ("packed_kernel_fwd", chain_packed, (qp, kp, vp)),
+            ("packed_e2e_fwd", chain_packed_e2e, (q, k, v))):
+        per = timed_slope(lambda n: fn(n, *args))
+        print(json.dumps({"variant": name,
+                          "ms": round(per * 1000, 3)}), flush=True)
 
 
 if __name__ == "__main__":
     if "sweep" in sys.argv[1:]:
         sweep_blocks()
+    elif "headpack" in sys.argv[1:]:
+        headpack()
     else:
         main()

@@ -57,7 +57,8 @@ def build(res: int, dtype: str):
     fm = os.environ.get("STABLEMTL_FAST_MATH") == "1"
     ucfg, ccfg, vcfg, text_dim = model_configs(
         "full" if on_tpu else "tiny", True, {"attn_mask_ratio": 0.4},
-        dtype=dtype, remat=True, fast_math=fm)
+        dtype=dtype, remat=True, fast_math=fm,
+        remat_transformer=os.environ.get("STABLEMTL_BENCH_REMAT_TF", "none"))
 
     lh = lw = res // 8
     k = jax.random.split(jax.random.PRNGKey(0), 5)
@@ -196,6 +197,9 @@ def main():
         per, loss = time_variant(pipe, batch, iters)
         fm_tag = "_fm" if os.environ.get("STABLEMTL_FAST_MATH") == "1" \
             else ""
+        rt = os.environ.get("STABLEMTL_BENCH_REMAT_TF", "none")
+        if rt != "none":
+            fm_tag += f"_remat-{rt}"
         rec = {
             "variant": f"train_step_{res}x{res}_b{B}_{only}{fm_tag}",
             "s_per_step": round(per, 4),
@@ -213,21 +217,34 @@ def main():
     # first variant otherwise fragment the arena for the second
     import subprocess
 
-    out = {}
-    for name in ("flash", "xla"):
-        env = dict(os.environ, STABLEMTL_BENCH_VARIANT=name)
+    def run_child(extra_env):
+        env = dict(os.environ, **extra_env)
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True)
         sys.stderr.write(r.stderr[-2000:])
+        out = None
         for line in r.stdout.splitlines():
             print(line, flush=True)
             try:
                 rec = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if rec.get("variant", "").endswith(name):
-                out[name] = rec["s_per_step"]
-    if "flash" in out and "xla" in out:
+            if "s_per_step" in rec:
+                out = rec["s_per_step"]
+        return out
+
+    if "remat" in sys.argv[1:]:
+        # transformer-remat policy A/B (VERDICT r4 #3): flash on, vary
+        # STABLEMTL_BENCH_REMAT_TF. Each variant is a fresh process/arena.
+        for rt in ("none", "dots", "full"):
+            run_child({"STABLEMTL_BENCH_VARIANT": "flash",
+                       "STABLEMTL_BENCH_REMAT_TF": rt})
+        return
+
+    out = {}
+    for name in ("flash", "xla"):
+        out[name] = run_child({"STABLEMTL_BENCH_VARIANT": name})
+    if out.get("flash") and out.get("xla"):
         print(json.dumps({"flash_speedup_vs_xla":
                           round(out["xla"] / out["flash"], 3)}), flush=True)
 

@@ -61,12 +61,43 @@ def timed_slope(fn, iters):
     return max((t2 - t1) / iters, 1e-9)
 
 
+GRAD = False  # "grad" argv: time fwd+bwd per module (VERDICT r4 #3 —
+# the training step's attribution; run with STABLEMTL_BENCH_BATCH=1 for
+# the 512x512 batch-1 training geometry)
+
+
 def make_chain(f):
+    if GRAD:
+        @jax.jit
+        def chain(n, x0, params):
+            def loss(x, p):
+                out = f(x, p)
+                out = out[0] if isinstance(out, tuple) else out
+                return out.astype(jnp.float32).mean()
+
+            def body(_, carry):
+                x, acc = carry
+                l, (gx, gp) = jax.value_and_grad(loss, argnums=(0, 1))(
+                    x, params)
+                # touch the param grads so the weight-gradient half of the
+                # backward can't be dead-code-eliminated
+                gsum = jax.tree_util.tree_reduce(
+                    lambda a, b: a + b.astype(jnp.float32).sum(), gp,
+                    jnp.float32(0))
+                s = l + gsum * 1e-20
+                return x + (s * 1e-12).astype(x.dtype), acc + s
+
+            _, acc = jax.lax.fori_loop(0, n, body, (x0, jnp.float32(0)))
+            return acc
+
+        return chain
+
     @jax.jit
     def chain(n, x0, params):
         def body(_, carry):
             x, acc = carry
             out = f(x, params)
+            out = out[0] if isinstance(out, tuple) else out
             s = out.mean().astype(jnp.float32)
             return x + (s * 1e-12).astype(x.dtype), acc + s
 
@@ -77,7 +108,12 @@ def make_chain(f):
 
 
 def main():
+    global GRAD
     parts = sys.argv[1:] or ["resnet", "t2d", "attn", "ff", "taskattn", "kv"]
+    if "grad" in parts:
+        GRAD = True
+        parts = [p for p in parts if p != "grad"] or [
+            "resnet", "t2d", "attn", "ff", "taskattn", "kv"]
     batch = int(os.environ.get("STABLEMTL_BENCH_BATCH", "4"))
     iters = int(os.environ.get("STABLEMTL_BENCH_ITERS", "8"))
     fast = bool(int(os.environ.get("STABLEMTL_FAST_MATH", "1")))
@@ -92,6 +128,11 @@ def main():
                                                   Transformer2D, _kv_project)
 
     def report(name, per_iter_s, tflop):
+        if GRAD:
+            # fwd+bwd nominal cost = 3x the forward (activation + weight
+            # gradient passes each re-run the matmul volume)
+            name += "_fwdbwd"
+            tflop *= 3.0
         ms = per_iter_s * 1000
         rec = {"component": name, "ms_per_iter": round(ms, 3),
                "achieved_tflops": round(tflop / per_iter_s, 1),
