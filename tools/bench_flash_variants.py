@@ -53,6 +53,14 @@ FLAG_KEYS = ("STABLEMTL_FLASH_FAST_SOFTMAX", "STABLEMTL_FLASH_MXU_LSUM",
              "STABLEMTL_FLASH_POLY_EXP")
 
 
+def wait_for_idle_host(flag: str = "/tmp/cpu_busy") -> None:
+    """Hold timed work while a CPU-heavy job runs on this 1-core host (a
+    concurrent CPU-bound process corrupts the two-point slope, CLAUDE.md:
+    measured 510 vs 222 ms/img). The claim can be held idle safely."""
+    while os.path.exists(flag):
+        time.sleep(10)
+
+
 def timed_slope(fn, iters=16):
     def run(n):
         t0 = time.perf_counter()
@@ -120,38 +128,43 @@ def sweep_blocks():
     fast_math default). Auto pick is 512/512 (MAX_BLOCK)."""
     from stablemtl_tpu.ops.flash_attention import _flash
 
+    wait_for_idle_host()
+
     B = int(os.environ.get("STABLEMTL_BENCH_BATCH", "4")) * 7
     os.environ["STABLEMTL_FLASH_FAST_SOFTMAX"] = "1"
     r = np.random.RandomState(0)
+    # auto-pick (512/512) FIRST so the baseline row lands even if the run
+    # is cut short; then the plausible alternatives (trimmed grid — the
+    # full cross product costs a slow remote compile per cell)
+    GRID = {4096: ((512, 512), (256, 512), (1024, 512), (512, 1024),
+                   (512, 2048), (256, 256), (1024, 1024), (2048, 512)),
+            1024: ((512, 512), (256, 512), (512, 1024), (1024, 1024),
+                   (256, 256), (512, 256))}
     for S, H in ((4096, 5), (1024, 10)):
         qkv = [jnp.asarray(r.standard_normal((B, S, H, 64)), jnp.bfloat16)
                for _ in range(3)]
-        for bq in (256, 512, 1024, 2048):
-            for bk in (256, 512, 1024, 2048, 4096):
-                if bq > S or bk > S:
-                    continue
-                os.environ["STABLEMTL_FLASH_BLOCK_Q"] = str(bq)
-                os.environ["STABLEMTL_FLASH_BLOCK_K"] = str(bk)
+        for bq, bk in GRID[S]:
+            os.environ["STABLEMTL_FLASH_BLOCK_Q"] = str(bq)
+            os.environ["STABLEMTL_FLASH_BLOCK_K"] = str(bk)
 
-                @jax.jit
-                def chain_fwd(n, q, k, v):
-                    def body(_, carry):
-                        x, acc = carry
-                        s = _flash(x, k, v).mean().astype(jnp.float32)
-                        return x + (s * 1e-6).astype(x.dtype), acc + s
+            @jax.jit
+            def chain_fwd(n, q, k, v):
+                def body(_, carry):
+                    x, acc = carry
+                    s = _flash(x, k, v).mean().astype(jnp.float32)
+                    return x + (s * 1e-6).astype(x.dtype), acc + s
 
-                    _, acc = jax.lax.fori_loop(0, n, body,
-                                               (q, jnp.float32(0)))
-                    return acc
+                _, acc = jax.lax.fori_loop(0, n, body, (q, jnp.float32(0)))
+                return acc
 
-                try:
-                    per = timed_slope(lambda n: chain_fwd(n, *qkv))
-                    print(json.dumps({"seq": S, "block_q": bq, "block_k": bk,
-                                      "fwd_ms": round(per * 1000, 3)}),
-                          flush=True)
-                except Exception as e:  # VMEM overflow at the big combos
-                    print(json.dumps({"seq": S, "block_q": bq, "block_k": bk,
-                                      "error": type(e).__name__}), flush=True)
+            try:
+                per = timed_slope(lambda n: chain_fwd(n, *qkv))
+                print(json.dumps({"seq": S, "block_q": bq, "block_k": bk,
+                                  "fwd_ms": round(per * 1000, 3)}),
+                      flush=True)
+            except Exception as e:  # VMEM overflow at the big combos
+                print(json.dumps({"seq": S, "block_q": bq, "block_k": bk,
+                                  "error": type(e).__name__}), flush=True)
     os.environ.pop("STABLEMTL_FLASH_BLOCK_Q", None)
     os.environ.pop("STABLEMTL_FLASH_BLOCK_K", None)
 

@@ -241,6 +241,33 @@ def main():
                        "STABLEMTL_BENCH_REMAT_TF": rt})
         return
 
+    if "remat_inproc" in sys.argv[1:]:
+        # same A/B in ONE process (one tunnel claim — today's remote takes
+        # ~15-25 min to hand the claim to each new process): only valid at
+        # geometries with HBM headroom (e.g. STABLEMTL_BENCH_RES=384 b2);
+        # at the 512 b1 limit donation fragmentation needs fresh arenas.
+        import gc
+
+        for rt in ("none", "dots", "full"):
+            os.environ["STABLEMTL_BENCH_REMAT_TF"] = rt
+            os.environ.pop("STABLEMTL_DISABLE_FLASH", None)
+            pipe = build(res, dtype)
+            flops = _train_step_flops(pipe, batch)
+            per, loss = time_variant(pipe, batch, iters)
+            rec = {"variant": f"train_step_{res}x{res}_b{B}_flash_remat-{rt}",
+                   "s_per_step": round(per, 4),
+                   "train_imgs_per_sec": round(B / per, 3),
+                   "loss": round(loss, 5)}
+            if flops > 0:
+                rec["achieved_tflops"] = round(flops / per / 1e12, 1)
+                if on_tpu:
+                    rec["mfu_vs_v5e_bf16_peak"] = round(
+                        flops / per / 1e12 / 197.0, 3)
+            print(json.dumps(rec), flush=True)
+            del pipe
+            gc.collect()
+        return
+
     out = {}
     for name in ("flash", "xla"):
         out[name] = run_child({"STABLEMTL_BENCH_VARIANT": name})
