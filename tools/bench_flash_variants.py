@@ -125,13 +125,19 @@ def main():
 def sweep_blocks():
     """Block-size sweep (STABLEMTL_FLASH_BLOCK_Q/_BLOCK_K) for the resident
     kernel at the production self-attention shapes, fast_softmax on (the
-    fast_math default). Auto pick is 512/512 (MAX_BLOCK)."""
+    fast_math default). Auto pick is 512/512 (MAX_BLOCK).
+
+    STABLEMTL_SWEEP_CELLS="seq:bq:bk,..." overrides the grid;
+    STABLEMTL_SWEEP_BWD=1 also times fwd+bwd per cell (the backward
+    kernels read the same env knobs — a promoted forward default must not
+    regress them)."""
     from stablemtl_tpu.ops.flash_attention import _flash
 
     wait_for_idle_host()
 
     B = int(os.environ.get("STABLEMTL_BENCH_BATCH", "4")) * 7
     os.environ["STABLEMTL_FLASH_FAST_SOFTMAX"] = "1"
+    with_bwd = os.environ.get("STABLEMTL_SWEEP_BWD") == "1"
     r = np.random.RandomState(0)
     # auto-pick (512/512) FIRST so the baseline row lands even if the run
     # is cut short; then the plausible alternatives (trimmed grid — the
@@ -140,7 +146,15 @@ def sweep_blocks():
                    (512, 2048), (256, 256), (1024, 1024), (2048, 512)),
             1024: ((512, 512), (256, 512), (512, 1024), (1024, 1024),
                    (256, 256), (512, 256))}
-    for S, H in ((4096, 5), (1024, 10)):
+    cells_env = os.environ.get("STABLEMTL_SWEEP_CELLS")
+    if cells_env:
+        GRID = {}
+        for cell in cells_env.split(","):
+            s, bq, bk = (int(t) for t in cell.split(":"))
+            GRID.setdefault(s, []).append((bq, bk))
+    heads = {4096: 5, 1024: 10}
+    for S in sorted(GRID, reverse=True):
+        H = heads.get(S, 5)
         qkv = [jnp.asarray(r.standard_normal((B, S, H, 64)), jnp.bfloat16)
                for _ in range(3)]
         for bq, bk in GRID[S]:
@@ -157,11 +171,28 @@ def sweep_blocks():
                 _, acc = jax.lax.fori_loop(0, n, body, (q, jnp.float32(0)))
                 return acc
 
+            @jax.jit
+            def chain_bwd(n, q, k, v):
+                def loss(x):
+                    return _flash(x, k, v).astype(jnp.float32).mean()
+
+                def body(_, carry):
+                    x, acc = carry
+                    g = jax.grad(loss)(x)
+                    s = g.astype(jnp.float32).mean()
+                    return x + (s * 1e-6).astype(x.dtype), acc + s
+
+                _, acc = jax.lax.fori_loop(0, n, body, (q, jnp.float32(0)))
+                return acc
+
             try:
+                rec = {"seq": S, "block_q": bq, "block_k": bk}
                 per = timed_slope(lambda n: chain_fwd(n, *qkv))
-                print(json.dumps({"seq": S, "block_q": bq, "block_k": bk,
-                                  "fwd_ms": round(per * 1000, 3)}),
-                      flush=True)
+                rec["fwd_ms"] = round(per * 1000, 3)
+                if with_bwd:
+                    per = timed_slope(lambda n: chain_bwd(n, *qkv))
+                    rec["fwdbwd_ms"] = round(per * 1000, 3)
+                print(json.dumps(rec), flush=True)
             except Exception as e:  # VMEM overflow at the big combos
                 print(json.dumps({"seq": S, "block_q": bq, "block_k": bk,
                                   "error": type(e).__name__}), flush=True)
