@@ -147,6 +147,37 @@ def _pick_block(s: int, max_block: int = MAX_BLOCK,
     return best
 
 
+# k-block cap for the resident kernels. Larger k-blocks amortize the
+# online-softmax flush (fewer rescale/accumulate rounds, bigger P@V
+# matmuls): measured on chip r5 (BENCH_NOTES) at the production shapes,
+# S=4096 fwd 9.09 -> 6.96 ms and fwd+bwd 20.7 -> 17.2 at bk=sk (single
+# pass); S=1024 fwd 1.37 -> 1.03 at bk=sk. Capped by the VMEM budget:
+# the picker below degrades bk until the [block_q, bk] f32 score tile
+# plus resident K/V fit, so long sequences keep the resident kernel
+# instead of spilling to the streaming one.
+MAX_BLOCK_K = 4096
+
+
+def _pick_block_k(sk: int, block_q: int, d: int, itemsize: int,
+                  env: str | None = None) -> int:
+    """Largest k-block (divisor of sk, <= MAX_BLOCK_K, multiple of 8)
+    whose resident-kernel VMEM estimate fits VMEM_BUDGET_BYTES; falls
+    back to the classic 512-cap pick when nothing larger fits. The env
+    override (STABLEMTL_FLASH_BLOCK_K) bypasses the budget for sweeps."""
+    if env:
+        raw = os.environ.get(env, "").strip()
+        if raw.isdigit() and int(raw) > 0 and sk % int(raw) == 0:
+            return int(raw)
+    kv = sk * 2 * d * itemsize * 2          # K + V, double-buffered
+    q_acc = block_q * d * itemsize + block_q * d * 4
+    best = 0
+    for b in range(8, min(MAX_BLOCK_K, sk) + 1, 8):
+        if sk % b == 0 and (kv + 2 * q_acc
+                            + block_q * b * 4) <= VMEM_BUDGET_BYTES:
+            best = b
+    return best if best else _pick_block(sk)
+
+
 def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
                scale: float, no_max: bool = False, mxu_lsum: bool = False,
                poly_deg: int = 0):
@@ -327,7 +358,8 @@ def _flash_forward(q, k, v, want_lse: bool = True):
     b, sq, h, d = q.shape
     sk = k.shape[1]
     block_q = _pick_block(sq, env="STABLEMTL_FLASH_BLOCK_Q")
-    block_k = _pick_block(sk, env="STABLEMTL_FLASH_BLOCK_K")
+    block_k = _pick_block_k(sk, block_q, d, q.dtype.itemsize,
+                            env="STABLEMTL_FLASH_BLOCK_K")
 
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     scale = float(d) ** -0.5
@@ -379,7 +411,8 @@ def _flash_backward(q, k, v, out, lse, g):
     b, sq, h, d = q.shape
     sk = k.shape[1]
     block_q = _pick_block(sq, env="STABLEMTL_FLASH_BLOCK_Q")
-    block_k = _pick_block(sk, env="STABLEMTL_FLASH_BLOCK_K")
+    block_k = _pick_block_k(sk, block_q, d, q.dtype.itemsize,
+                            env="STABLEMTL_FLASH_BLOCK_K")
     scale = float(d) ** -0.5
 
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
@@ -598,8 +631,11 @@ def _stream_vmem_bytes(sq: int, sk: int, d: int, itemsize: int) -> int:
 
 # VMEM budget for the kernel's working set. The full K and V for one
 # (batch*head) live in VMEM and are double-buffered by the pipeline; leave
-# headroom under the 16 MB scoped limit.
-VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+# headroom under the 16 MB scoped limit. 12 MB admits the measured-best
+# bk=sk single-pass config at S=4096/d=64 (~10.9 MB estimated; runs clean
+# on chip, BENCH_NOTES r5 block sweep) while longer sequences degrade bk
+# via _pick_block_k instead of losing the resident kernel.
+VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
 def _vmem_bytes(sq: int, sk: int, d: int, itemsize: int) -> int:
@@ -612,7 +648,8 @@ def _vmem_bytes(sq: int, sk: int, d: int, itemsize: int) -> int:
         dv = d
     kv = sk * (d + dv) * itemsize * 2       # K + V, double-buffered
     q_acc = block_q * d * itemsize + block_q * dv * 4  # q block + f32 acc
-    p = block_q * _pick_block(sk, env="STABLEMTL_FLASH_BLOCK_K") * 4
+    p = block_q * _pick_block_k(sk, block_q, d, itemsize,
+                                env="STABLEMTL_FLASH_BLOCK_K") * 4
     return kv + 2 * q_acc + p
 
 

@@ -20,6 +20,36 @@ def test_pick_block():
     assert _pick_block(7) == 0
 
 
+def test_pick_block_k():
+    """Budget-aware k-block default (r5 promotion, BENCH_NOTES): bk=sk
+    single pass at the production shapes; degrades — never loses the
+    resident kernel — when the score tile would blow the VMEM budget."""
+    from stablemtl_tpu.ops.flash_attention import (VMEM_BUDGET_BYTES,
+                                                   _pick_block_k)
+
+    # production self-attention shapes -> full-K single pass
+    assert _pick_block_k(4096, 512, 64, 2) == 4096
+    assert _pick_block_k(1024, 512, 64, 2) == 1024
+    assert _pick_block_k(1728, 432, 64, 2) == 1728  # 288x384 training
+    # long sequences degrade bk to keep the estimate under budget
+    bk = _pick_block_k(16384, 512, 64, 2)
+    assert 0 < bk < 16384 and 16384 % bk == 0
+    kv = 16384 * 2 * 64 * 2 * 2
+    q_acc = 512 * 64 * 2 + 512 * 64 * 4
+    assert kv + 2 * q_acc + 512 * bk * 4 <= VMEM_BUDGET_BYTES
+    # nothing fits (huge head_dim) -> classic 512-cap fallback
+    assert _pick_block_k(4096, 512, 512, 2) == _pick_block(4096)
+    # env override bypasses the budget (sweep tooling)
+    import os
+
+    os.environ["STABLEMTL_FLASH_BLOCK_K"] = "128"
+    try:
+        assert _pick_block_k(4096, 512, 64, 2,
+                             env="STABLEMTL_FLASH_BLOCK_K") == 128
+    finally:
+        del os.environ["STABLEMTL_FLASH_BLOCK_K"]
+
+
 @pytest.mark.parametrize("sq,sk", [(256, 256), (432, 432), (128, 256)])
 def test_flash_matches_xla(sq, sk):
     rng = np.random.RandomState(0)
