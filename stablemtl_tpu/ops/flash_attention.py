@@ -411,8 +411,13 @@ def _flash_backward(q, k, v, out, lse, g):
     b, sq, h, d = q.shape
     sk = k.shape[1]
     block_q = _pick_block(sq, env="STABLEMTL_FLASH_BLOCK_Q")
-    block_k = _pick_block_k(sk, block_q, d, q.dtype.itemsize,
-                            env="STABLEMTL_FLASH_BLOCK_K")
+    # the BACKWARD keeps the classic 512-cap k-blocks: its kernels hold
+    # THREE [block_q, block_k] f32 score-sized tiles at once (s/p, dp,
+    # ds) plus the dk/dv accumulators, so the forward's full-K pick
+    # blows the 16 MB scoped-VMEM stack (measured r5: bk=4096 asked for
+    # 27.25 MB and failed the train-step compile; bk=512 is proven).
+    # Sweep override is a separate env so fwd/bwd can be varied apart.
+    block_k = _pick_block(sk, env="STABLEMTL_FLASH_BLOCK_K_BWD")
     scale = float(d) ** -0.5
 
     qf, kf, vf = _fold(q), _fold(k), _fold(v)

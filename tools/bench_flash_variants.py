@@ -104,13 +104,18 @@ def main():
             if with_bwd:
                 @jax.jit
                 def chain_bwd(n, q, k, v):
-                    def loss(x):
+                    # grad wrt q AND k AND v — a q-only grad lets XLA
+                    # dead-code the dK/dV kernel (r5 lesson)
+                    def loss(x, k, v):
                         return _flash(x, k, v).astype(jnp.float32).mean()
 
                     def body(_, carry):
                         x, acc = carry
-                        g = jax.grad(loss)(x)
-                        s = g.astype(jnp.float32).mean()
+                        gq, gk, gv = jax.grad(
+                            loss, argnums=(0, 1, 2))(x, k, v)
+                        s = (gq.astype(jnp.float32).mean()
+                             + gk.astype(jnp.float32).mean()
+                             + gv.astype(jnp.float32).mean())
                         return x + (s * 1e-6).astype(x.dtype), acc + s
 
                     _, acc = jax.lax.fori_loop(0, n, body,
@@ -160,6 +165,8 @@ def sweep_blocks():
         for bq, bk in GRID[S]:
             os.environ["STABLEMTL_FLASH_BLOCK_Q"] = str(bq)
             os.environ["STABLEMTL_FLASH_BLOCK_K"] = str(bk)
+            # the cell's bk applies to the backward too (separate env)
+            os.environ["STABLEMTL_FLASH_BLOCK_K_BWD"] = str(bk)
 
             @jax.jit
             def chain_fwd(n, q, k, v):
@@ -173,13 +180,18 @@ def sweep_blocks():
 
             @jax.jit
             def chain_bwd(n, q, k, v):
-                def loss(x):
+                # grad wrt q AND k AND v: a q-only grad lets XLA dead-code
+                # the dK/dV kernel entirely (r5 lesson — the dq-only sweep
+                # "validated" a dkv block size that could not even compile)
+                def loss(x, k, v):
                     return _flash(x, k, v).astype(jnp.float32).mean()
 
                 def body(_, carry):
                     x, acc = carry
-                    g = jax.grad(loss)(x)
-                    s = g.astype(jnp.float32).mean()
+                    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(x, k, v)
+                    s = (gq.astype(jnp.float32).mean()
+                         + gk.astype(jnp.float32).mean()
+                         + gv.astype(jnp.float32).mean())
                     return x + (s * 1e-6).astype(x.dtype), acc + s
 
                 _, acc = jax.lax.fori_loop(0, n, body, (q, jnp.float32(0)))
@@ -198,6 +210,7 @@ def sweep_blocks():
                                   "error": type(e).__name__}), flush=True)
     os.environ.pop("STABLEMTL_FLASH_BLOCK_Q", None)
     os.environ.pop("STABLEMTL_FLASH_BLOCK_K", None)
+    os.environ.pop("STABLEMTL_FLASH_BLOCK_K_BWD", None)
 
 
 def _pack_pairs(qf, kf, vf):
